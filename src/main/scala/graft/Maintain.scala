@@ -1,0 +1,167 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+import graft.gen.Synth
+import graft.maint.{Expire, Merge, Rewrite, RewriteConfig}
+
+/**
+ * CLI entry point (SURVEY.md §3.5):
+ *
+ * {{{
+ * spark-submit --class graft.Maintain <jar> <command> --table <root> [opts]
+ *
+ * commands:
+ *   init     --rows N [--seed S] [--files K]     create + append synthetic data
+ *   append   --rows N [--seed S] [--files K]     append another generation
+ *   compact  [--target-mb M]                     FFD bin-packing compaction
+ *   zorder   [--target-mb M]                     Z-order clustering rewrite
+ *   hilbert  [--target-mb M]                     Hilbert clustering rewrite
+ *   merge    --updates U --inserts I --deletes D [--seed S]  synthetic MERGE
+ *   expire   --retain K                          snapshot expire + GC
+ *   rewrite-manifests                            metadata compaction
+ *   describe                                     file/size/version summary
+ *   scan     [--source S] [--min-tok A] [--max-tok B]  pruned scan + metrics
+ * }}}
+ *
+ * Local runs honor SPARK_GRAFT_CPUS (two parallelism levels = the sandbox's
+ * stand-in for N vs 4N executors, BASELINE.md).
+ */
+object Maintain {
+
+  def session(): SparkSession = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      Runtime.getRuntime.availableProcessors().toString)
+    val s = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]"))
+      .appName("graft-maintain")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.execution.rangeExchange.sampleSizePerPartition", "400")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  def main(args: Array[String]): Unit = {
+    if (args.isEmpty) { usage(); sys.exit(2) }
+    val cmd = args.head
+    val opts = parse(args.tail)
+    val root = opts.getOrElse("table",
+      { System.err.println("error: --table <root> is required"); sys.exit(2); "" })
+
+    val spark = session()
+    val nowMs = System.currentTimeMillis()
+    try {
+      cmd match {
+        case "init" =>
+          val t = TokenTable.create(root, spark, nowMs)
+          val rows = opts.getOrElse("rows", "100000").toLong
+          val df = Synth.table(spark, rows, opts.getOrElse("seed", "42").toLong)
+          val s = t.append(df, opts.getOrElse("files", "200").toInt, nowMs)
+          report(t, s.version)
+        case "append" =>
+          val t = TokenTable.load(root, spark)
+          val rows = opts.getOrElse("rows", "100000").toLong
+          val df = Synth.table(spark, rows, opts.getOrElse("seed", "43").toLong)
+          val s = t.append(df, opts.getOrElse("files", "200").toInt, nowMs)
+          report(t, s.version)
+        case "compact" =>
+          val t = TokenTable.load(root, spark)
+          val s = Rewrite.compact(t, spark, cfg(opts, "docid"), nowMs)
+          report(t, s.version)
+        case "zorder" =>
+          val t = TokenTable.load(root, spark)
+          val s = Rewrite.cluster(t, spark, cfg(opts, "zkey"), nowMs)
+          report(t, s.version)
+        case "hilbert" =>
+          val t = TokenTable.load(root, spark)
+          val s = Rewrite.cluster(t, spark, cfg(opts, "hilbert"), nowMs)
+          report(t, s.version)
+        case "merge" =>
+          val t = TokenTable.load(root, spark)
+          val baseRows = t.describe()("rows").toLong
+          val changes = Synth.changeSet(spark, baseRows,
+            opts.getOrElse("seed", "42").toLong,
+            opts.getOrElse("updates", "1000").toLong,
+            opts.getOrElse("inserts", "500").toLong,
+            opts.getOrElse("deletes", "200").toLong)
+          val s = Merge.run(t, spark, changes, nowMs)
+          report(t, s.version)
+        case "expire" =>
+          val t = TokenTable.load(root, spark)
+          val r = Expire.run(t, opts.getOrElse("retain", "2").toInt)
+          println(s"expired versions: ${r.expiredVersions.mkString(",")}")
+          println(s"deleted data files: ${r.deletedDataFiles.size}")
+          println(s"deleted manifests: ${r.deletedManifests.size}")
+          report(t, t.log.currentVersion().getOrElse(-1L))
+        case "rewrite-manifests" =>
+          val t = TokenTable.load(root, spark)
+          val s = Expire.rewriteManifests(t, nowMs)
+          report(t, s.version)
+        case "describe" =>
+          val t = TokenTable.load(root, spark)
+          report(t, t.log.currentVersion().getOrElse(-1L))
+        case "scan" =>
+          val t = TokenTable.load(root, spark)
+          var pred: Predicate = Predicate.True
+          opts.get("source").foreach(s =>
+            pred = Predicate.And(pred, Predicate.Eq("source", s)))
+          (opts.get("min-tok"), opts.get("max-tok")) match {
+            case (Some(a), Some(b)) =>
+              pred = Predicate.And(pred, Predicate.Between("n_tok", a.toInt, b.toInt))
+            case (Some(a), None) =>
+              pred = Predicate.And(pred, Predicate.Ge("n_tok", a.toInt))
+            case (None, Some(b)) =>
+              pred = Predicate.And(pred, Predicate.Le("n_tok", b.toInt))
+            case _ =>
+          }
+          val (df, m) = t.scan(pred)
+          val n = df.count()
+          println(s"rows=$n filesKept=${m.filesKept}/${m.filesTotal} " +
+            f"pruning=${m.pruningRatio}%.3f bytesKept=${m.bytesKept}/${m.bytesTotal}")
+        case other =>
+          System.err.println(s"error: unknown command '$other'"); usage(); sys.exit(2)
+      }
+    } finally spark.stop()
+  }
+
+  private def cfg(opts: Map[String, String], sortBy: String): RewriteConfig =
+    RewriteConfig(
+      targetFileBytes = opts.getOrElse("target-mb", "128").toLong * 1024 * 1024,
+      sortBy = opts.getOrElse("sort-by", sortBy))
+
+  private def report(t: TokenTable, v: Long): Unit = {
+    val d = t.describe()
+    println(s"version=$v " + d.toSeq.sortBy(_._1)
+      .map { case (k, x) => s"$k=$x" }.mkString(" "))
+  }
+
+  private def parse(args: Array[String]): Map[String, String] = {
+    val m = scala.collection.mutable.Map.empty[String, String]
+    var i = 0
+    while (i < args.length) {
+      val a = args(i)
+      if (a.startsWith("--")) {
+        val k = a.stripPrefix("--")
+        if (i + 1 < args.length && !args(i + 1).startsWith("--")) {
+          m(k) = args(i + 1); i += 2
+        } else { m(k) = "true"; i += 1 }
+      } else {
+        System.err.println(s"error: unexpected argument '$a'"); usage(); sys.exit(2)
+      }
+    }
+    m.toMap
+  }
+
+  private def usage(): Unit = System.err.println(
+    """usage: graft.Maintain <init|append|compact|zorder|hilbert|merge|expire|rewrite-manifests|describe|scan> --table <root> [options]
+      |  init/append: --rows N --seed S --files K
+      |  compact/zorder/hilbert: --target-mb M [--sort-by docid|zkey|hilbert|none]
+      |  merge: --updates U --inserts I --deletes D --seed S
+      |  expire: --retain K
+      |  scan: --source S --min-tok A --max-tok B""".stripMargin)
+}

@@ -1,0 +1,191 @@
+package graft
+
+import java.nio.file.{Files, Path, Paths}
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.meta._
+
+/** Metrics returned by a pruned scan — also the evidence for the Z-order
+  * scan-pruning-ratio gate (BASELINE.md). */
+final case class ScanMetrics(
+    filesTotal: Int,
+    filesKept: Int,
+    bytesTotal: Long,
+    bytesKept: Long) {
+  def pruningRatio: Double =
+    if (filesTotal == 0) 0.0 else 1.0 - filesKept.toDouble / filesTotal
+}
+
+/**
+ * The engine's table handle: snapshot-pinned reads, append / overwrite
+ * commits, identity partitioning on `source`.
+ *
+ * Physical layout decisions:
+ *  - Data files are written hive-style under `source=<v>/` dirs via a
+ *    duplicated `p_source` partition column, while `source` itself is kept
+ *    as a real data column. That gives (a) partition-scoped replace
+ *    semantics like the reference's dynamic partition overwrite
+ *    (/root/reference/spark/jobs/silver/meetings.py:19,68-73), (b) genuine
+ *    parquet min/max stats on `source` for file skipping, and (c) scans
+ *    that are a plain multi-path parquet read — no basePath/partition
+ *    discovery on the hot path. The duplicated column is dictionary-encoded
+ *    by parquet; overhead is negligible.
+ *  - Scans pass the declared schema (no footer-sampling schema inference —
+ *    at 10^6 files inference would be a driver storm).
+ */
+final class TokenTable(val log: SnapshotLog, spark: SparkSession) {
+
+  def root: String = log.root
+
+  private val schemaDDL = TokenRow.schema.toDDL
+
+  def create(nowMs: Long = 0L): Snapshot = {
+    log.init()
+    log.commit() { base =>
+      require(base.isEmpty, s"table already exists at $root")
+      Snapshot(0L, -1L, nowMs, "create", Map.empty, schemaDDL,
+        Seq("source"), Seq.empty)
+    }
+  }
+
+  /**
+   * Write `df` (TokenRow-shaped) as new data files and commit an append.
+   * `targetFileCount` controls the pre-write range shuffle: each output
+   * task covers a contiguous (source, doc_id) range, so files are mostly
+   * single-source and doc_id-clustered *within* a source — small files on
+   * purpose when the caller wants a compaction fixture.
+   */
+  def append(df: DataFrame, targetFileCount: Int, nowMs: Long = 0L,
+      operation: String = "append", extraSummary: Map[String, String] = Map.empty): Snapshot = {
+    val subdir = log.newDataSubdir()
+    val out = df
+      .repartitionByRange(targetFileCount, col("source"), col("doc_id"))
+      .withColumn("p_source", col("source"))
+    out.write.partitionBy("p_source").parquet(subdir.toString)
+    commitAdd(subdir, nowMs, operation, extraSummary)
+  }
+
+  /** Register all parquet files under `subdir` as an appended manifest. */
+  def commitAdd(subdir: Path, nowMs: Long, operation: String,
+      extraSummary: Map[String, String] = Map.empty): Snapshot = {
+    val entries = collectEntries(subdir)
+    val ref = log.writeManifest(entries)
+    log.commit() { base =>
+      val prev = base.getOrElse(sys.error(s"no table at $root"))
+      Snapshot(0L, -1L, nowMs, operation,
+        carried(prev) ++ extraSummary ++ Map(
+          "added-files" -> entries.size.toString,
+          "added-rows" -> entries.map(_.rows).sum.toString,
+          "added-bytes" -> entries.map(_.bytes).sum.toString),
+        prev.schemaDDL, prev.partitionCols, prev.manifestList :+ ref)
+    }
+  }
+
+  /**
+   * Commit a rewrite: data files in `removedPaths` (root-relative) disappear,
+   * files under `addedDirs` appear. Manifests that reference no removed file
+   * are REUSED untouched (commit cost O(changed), Iceberg-style); touched
+   * manifests are rewritten minus their removed entries.
+   */
+  def commitRewrite(removedPaths: Set[String], addedDirs: Seq[Path],
+      nowMs: Long, operation: String,
+      extraSummary: Map[String, String] = Map.empty): Snapshot = {
+    val added = addedDirs.flatMap(collectEntries)
+    val addedRef = if (added.nonEmpty) Some(log.writeManifest(added)) else None
+    log.commit() { base =>
+      val prev = base.getOrElse(sys.error(s"no table at $root"))
+      val newList = prev.manifestList.flatMap { mref =>
+        val mf = log.readManifest(mref)
+        val paths = mf.entries.map(_.path).toSet
+        if (paths.intersect(removedPaths).isEmpty) Some(mref) // reuse untouched
+        else {
+          val kept = mf.entries.filterNot(e => removedPaths.contains(e.path))
+          if (kept.isEmpty) None else Some(log.writeManifest(kept))
+        }
+      } ++ addedRef
+      Snapshot(0L, -1L, nowMs, operation,
+        carried(prev) ++ extraSummary ++ Map(
+          "removed-files" -> removedPaths.size.toString,
+          "added-files" -> added.size.toString,
+          "added-rows" -> added.map(_.rows).sum.toString,
+          "added-bytes" -> added.map(_.bytes).sum.toString),
+        prev.schemaDDL, prev.partitionCols, newList)
+    }
+  }
+
+  /** Summary keys inherited across commits (e.g. the stable Z-order source
+    * dictionary — SURVEY.md §7.4 item 3: dict indices must never move). */
+  private def carried(prev: Snapshot): Map[String, String] =
+    prev.summary.view.filterKeys(_ == "source-dict").toMap
+
+  /** Footer-stat every parquet file under dir (recursive) → manifest entries. */
+  def collectEntries(subdir: Path): Seq[DataFile] = {
+    val files = Files.walk(subdir).iterator().asScala
+      .filter(p => p.toString.endsWith(".parquet") && Files.isRegularFile(p))
+      .toSeq.sortBy(_.toString)
+    val conf = spark.sessionState.newHadoopConf()
+    ParquetStats.batch(files.map(_.toString), conf).map { case (p, (rows, bytes, stats)) =>
+      val pp = Paths.get(p)
+      val partition = pp.getParent.getFileName.toString match {
+        case s if s.contains("=") =>
+          val Array(k, v) = s.split("=", 2)
+          Map(k.stripPrefix("p_") -> java.net.URLDecoder.decode(v, "UTF-8"))
+        case _ => Map.empty[String, String]
+      }
+      DataFile(log.relativize(pp), partition, rows, bytes, stats)
+    }
+  }
+
+  /** Snapshot-pinned, stats-pruned scan. */
+  def scan(pred: Predicate = Predicate.True, version: Option[Long] = None)
+      : (DataFrame, ScanMetrics) = {
+    val snap = version.map(log.snapshot).orElse(log.current())
+      .getOrElse(sys.error(s"no table at $root"))
+    val all = log.dataFiles(snap)
+    val kept = all.filter(f => pred.mightMatch(f.stats))
+    val metrics = ScanMetrics(all.size, kept.size,
+      all.iterator.map(_.bytes).sum, kept.iterator.map(_.bytes).sum)
+    val df =
+      if (kept.isEmpty)
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          TokenRow.schema)
+      else
+        spark.read.schema(TokenRow.schema)
+          .parquet(kept.map(f => log.absolute(f.path).toString): _*)
+          .filter(pred.toColumn)
+    (df, metrics)
+  }
+
+  /** Table description from metadata alone (file-count/size histogram —
+    * the engine's analog of the reference's DESCRIBE/check_table tooling,
+    * /root/reference/spark/jobs/check_table.py:15-27). */
+  def describe(version: Option[Long] = None): Map[String, String] = {
+    val snap = version.map(log.snapshot).orElse(log.current())
+      .getOrElse(sys.error(s"no table at $root"))
+    val files = log.dataFiles(snap)
+    val sizes = files.map(_.bytes)
+    Map(
+      "version" -> snap.version.toString,
+      "operation" -> snap.operation,
+      "manifests" -> snap.manifestList.size.toString,
+      "files" -> files.size.toString,
+      "rows" -> files.map(_.rows).sum.toString,
+      "bytes" -> sizes.sum.toString,
+      "minFileBytes" -> (if (sizes.isEmpty) "0" else sizes.min.toString),
+      "maxFileBytes" -> (if (sizes.isEmpty) "0" else sizes.max.toString),
+      "avgFileBytes" -> (if (sizes.isEmpty) "0" else (sizes.sum / sizes.size).toString))
+  }
+}
+
+object TokenTable {
+  def create(root: String, spark: SparkSession, nowMs: Long = 0L): TokenTable = {
+    val t = new TokenTable(new SnapshotLog(root), spark)
+    t.create(nowMs)
+    t
+  }
+  def load(root: String, spark: SparkSession): TokenTable =
+    new TokenTable(new SnapshotLog(root), spark)
+}

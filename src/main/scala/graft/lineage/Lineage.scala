@@ -1,0 +1,68 @@
+package graft.lineage
+
+import java.nio.file.{Files, Path, Paths, StandardOpenOption}
+import scala.jdk.CollectionConverters._
+
+import graft.meta.Json
+
+/**
+ * Per-partition lineage log — the engine's resumable checkpoint.
+ *
+ * Mirrors the reference's two lineage mechanisms in one structure: the
+ * uniform per-row lineage columns (run_ts/request_id,
+ * /root/reference/spark/jobs/silver/meetings.py:55-57) and the append-only
+ * dq.dq_runs audit ledger (/root/reference/spark/jobs/tests/dq_runner.py:36-51)
+ * — but kept OUT of the data rows (token files stay pure) and keyed by
+ * (pass_id, unit) where unit is a partition or bin.
+ *
+ * Protocol (SURVEY.md §7.4 item 5): each work unit writes its data files
+ * first, then appends a `done` record naming them; the snapshot commit
+ * happens ONCE at pass end from the union of done records. A killed pass
+ * re-runs with the same deterministic pass_id, skips every unit with a
+ * `done` record (reusing its staged files), and reaches the same single
+ * commit — no duplicates, no partial snapshots.
+ */
+final case class LineageRecord(
+    passId: String,
+    kind: String, // compact | zorder | merge | expire | rewrite_manifests
+    unit: String, // partition value or bin id
+    status: String, // done | failed
+    filesIn: Int,
+    filesOut: Seq[String], // root-relative staged output files
+    rows: Long,
+    bytes: Long,
+    attempt: Int)
+
+final class LineageLog(root: String) {
+  private val dir: Path = Paths.get(root, "meta", "lineage")
+
+  private def logPath(passId: String): Path = dir.resolve(s"$passId.jsonl")
+
+  /** Append one record (single atomic O_APPEND write of one line). */
+  def append(r: LineageRecord): Unit = {
+    Files.createDirectories(dir)
+    Files.writeString(logPath(r.passId), Json.write(r) + "\n",
+      StandardOpenOption.CREATE, StandardOpenOption.APPEND)
+  }
+
+  /** All records of a pass; tolerates a torn trailing line from a crash. */
+  def records(passId: String): Seq[LineageRecord] = {
+    val p = logPath(passId)
+    if (!Files.exists(p)) return Seq.empty
+    Files.readAllLines(p).asScala.toSeq.flatMap { line =>
+      try Some(Json.read[LineageRecord](line))
+      catch { case _: Throwable => None } // torn write → unit simply re-runs
+    }
+  }
+
+  /** unit -> completed record (latest attempt wins). */
+  def completed(passId: String): Map[String, LineageRecord] =
+    records(passId).filter(_.status == "done")
+      .groupBy(_.unit).map { case (u, rs) => u -> rs.maxBy(_.attempt) }
+
+  def passes(): Seq[String] =
+    if (!Files.isDirectory(dir)) Seq.empty
+    else Files.list(dir).iterator().asScala
+      .map(_.getFileName.toString).filter(_.endsWith(".jsonl"))
+      .map(_.stripSuffix(".jsonl")).toSeq.sorted
+}

@@ -1,0 +1,228 @@
+package graft.maint
+
+import java.nio.file.{Files, Path}
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft._
+import graft.cluster.{Hilbert, ZOrder}
+import graft.lineage.{LineageLog, LineageRecord}
+import graft.meta.{DataFile, Snapshot}
+
+/** One FFD bin: input files to be rewritten into ~one output file. */
+final case class Bin(partition: String, files: Seq[DataFile]) {
+  def bytes: Long = files.iterator.map(_.bytes).sum
+  def rows: Long = files.iterator.map(_.rows).sum
+}
+
+object Packer {
+  /**
+   * First-fit-decreasing bin packing of candidate files into target-size
+   * bins (north rule: "bin-packing small-file compaction with a
+   * first-fit-decreasing target-size packer"). FFD guarantees ≤ 11/9·OPT+1
+   * bins; the property suite asserts the ≤ 2·OPT safe bound and that no bin
+   * exceeds target (given every item < target).
+   */
+  def ffd(partition: String, files: Seq[DataFile], targetBytes: Long): Seq[Bin] = {
+    val sorted = files.sortBy(f => (-f.bytes, f.path)) // decreasing, stable
+    val bins = scala.collection.mutable.ArrayBuffer.empty[scala.collection.mutable.ArrayBuffer[DataFile]]
+    val free = scala.collection.mutable.ArrayBuffer.empty[Long]
+    for (f <- sorted) {
+      val i = free.indexWhere(_ >= f.bytes)
+      if (i >= 0) { bins(i) += f; free(i) -= f.bytes }
+      else {
+        bins += scala.collection.mutable.ArrayBuffer(f)
+        free += math.max(0L, targetBytes - f.bytes)
+      }
+    }
+    bins.map(b => Bin(partition, b.toSeq)).toSeq
+  }
+}
+
+/**
+ * Finds, for each target shuffle-partition index j, an int key whose
+ * Murmur3 hash lands exactly on j under `repartition(n, $"k")`. This lets
+ * the FFD plan place each bin in exactly one shuffle partition — exact
+ * bin→output-file placement with a plain DataFrame hash repartition, no
+ * RDD custom partitioner. Cost: O(n ln n) driver-side hash probes.
+ */
+object ExactPartition {
+  def keyFor(j: Int, n: Int): Int = {
+    var k = 0
+    while (true) {
+      val h = org.apache.spark.unsafe.hash.Murmur3_x86_32.hashInt(k, 42)
+      if (java.lang.Math.floorMod(h, n) == j) return k
+      k += 1
+    }
+    -1
+  }
+  def keys(n: Int): Array[Int] = Array.tabulate(n)(keyFor(_, n))
+}
+
+final case class RewriteConfig(
+    targetFileBytes: Long = 128L * 1024 * 1024,
+    /** files smaller than this are compaction victims (default 3/4 target) */
+    minFileBytes: Long = -1,
+    /** zkey | hilbert | docid | none */
+    sortBy: String = "docid") {
+  def minBytes: Long = if (minFileBytes > 0) minFileBytes else targetFileBytes * 3 / 4
+}
+
+/**
+ * The two data-rewriting maintenance passes. Both are resumable: work is
+ * keyed by a deterministic pass id (operation + base snapshot version);
+ * each partition unit stages files then logs `done`; the snapshot commit
+ * happens once at the end from the union of done units (SURVEY.md §7.4).
+ */
+object Rewrite {
+
+  /** Stable source dictionary: persisted order from the snapshot summary,
+    * extended (sorted) with any new partition values — indices never move
+    * across passes. */
+  def sourceDict(snap: Snapshot, files: Seq[DataFile]): Seq[String] = {
+    val prev = snap.summary.get("source-dict")
+      .map(_.split(",").toSeq.filter(_.nonEmpty)).getOrElse(Seq.empty)
+    val seen = files.flatMap(_.partition.get("source")).distinct
+    prev ++ (seen.toSet -- prev.toSet).toSeq.sorted
+  }
+
+  def sortColumn(sortBy: String, dict: Seq[String]): Option[org.apache.spark.sql.Column] =
+    sortBy match {
+      case "zkey" => Some(ZOrder.zkey(col("source"), col("n_tok"), col("doc_id"), dict))
+      case "hilbert" => Some(Hilbert.hkey(col("source"), col("n_tok"), col("doc_id"), dict))
+      case "docid" => Some(col("doc_id"))
+      case _ => None
+    }
+
+  /** input_file_name() yields a URI; normalize to a bare path for map keys. */
+  private def fileKey: org.apache.spark.sql.Column =
+    regexp_replace(input_file_name(), "^[a-zA-Z0-9+.-]+:/+", "/")
+
+  /**
+   * Bin-packing compaction. Victims = files under cfg.minBytes, packed FFD
+   * per partition; each bin is shuffled to exactly one output task (see
+   * ExactPartition) and locally sorted by cfg.sortBy. Unaffected files and
+   * manifests are carried through untouched.
+   */
+  def compact(table: TokenTable, spark: SparkSession,
+      cfg: RewriteConfig = RewriteConfig(), nowMs: Long = 0L): Snapshot = {
+    val snap = table.log.current().getOrElse(sys.error("empty table"))
+    val files = table.log.dataFiles(snap)
+    val dict = sourceDict(snap, files)
+    val passId = s"compact-v${snap.version}"
+    val lin = new LineageLog(table.root)
+
+    val byPartition = files.groupBy(_.partition.getOrElse("source", ""))
+    // victims: small files; a partition needs ≥2 victims to gain anything
+    val work: Map[String, Seq[Bin]] = byPartition.flatMap { case (p, fs) =>
+      val victims = fs.filter(_.bytes < cfg.minBytes)
+      if (victims.size < 2) None
+      else {
+        val bins = Packer.ffd(p, victims, cfg.targetFileBytes)
+          .filter(_.files.size >= 2) // singleton bin = pointless rewrite
+        if (bins.isEmpty) None else Some(p -> bins)
+      }
+    }
+
+    val done = lin.completed(passId)
+    val staged = scala.collection.mutable.ArrayBuffer.empty[(String, Seq[Bin], Path)]
+    for ((p, bins) <- work.toSeq.sortBy(_._1)) {
+      done.get(p) match {
+        case Some(rec) =>
+          staged += ((p, bins, table.log.absolute(rec.filesOut.head)))
+        case None =>
+          val out = rewriteBins(table, spark, bins, cfg.sortBy, dict)
+          lin.append(LineageRecord(passId, "compact", p, "done",
+            bins.iterator.map(_.files.size).sum,
+            Seq(table.log.relativize(out)),
+            bins.iterator.map(_.rows).sum, bins.iterator.map(_.bytes).sum, 1))
+          staged += ((p, bins, out))
+      }
+    }
+
+    if (staged.isEmpty) return snap // nothing to do — no empty commits
+    val removed = staged.flatMap(_._2).flatMap(_.files).map(_.path).toSet
+    table.commitRewrite(removed, staged.map(_._3).toSeq, nowMs, "compact",
+      Map("source-dict" -> dict.mkString(","),
+        "bins" -> staged.map(_._2.size).sum.toString,
+        "pass-id" -> passId))
+  }
+
+  /** Rewrite one partition's bins: each bin → exactly one output file. */
+  private def rewriteBins(table: TokenTable, spark: SparkSession,
+      bins: Seq[Bin], sortBy: String, dict: Seq[String]): Path = {
+    val nBins = bins.size
+    val binKeys = ExactPartition.keys(nBins)
+    // file path -> exact-placement key of its bin
+    val pairs = bins.zipWithIndex.flatMap { case (b, i) =>
+      b.files.flatMap(f => Seq(lit(table.log.absolute(f.path).toString),
+        lit(binKeys(i))))
+    }
+    val binOf = map(pairs: _*)
+    val paths = bins.flatMap(_.files).map(f => table.log.absolute(f.path).toString)
+    val out = table.log.newDataSubdir()
+    val base = spark.read.schema(TokenRow.schema).parquet(paths: _*)
+      .withColumn("__bk", element_at(binOf, fileKey))
+      .repartition(nBins, col("__bk"))
+    val sorted = sortColumn(sortBy, dict) match {
+      case Some(c) => base.withColumn("__sk", c)
+        .sortWithinPartitions(col("__sk")).drop("__sk")
+      case None => base
+    }
+    sorted.drop("__bk")
+      .withColumn("p_source", col("source"))
+      .write.partitionBy("p_source").parquet(out.toString)
+    out
+  }
+
+  /**
+   * Clustering rewrite: globally range-partition each table partition by
+   * the Z-order (or Hilbert) key and rewrite into ~targetFileBytes files.
+   * This is the physical heart of the pass: repartitionByRange + sort
+   * within partitions (SURVEY.md §2.6 O5), entirely builtin exchange +
+   * sort — Catalyst/Tungsten handle spill and codegen.
+   */
+  def cluster(table: TokenTable, spark: SparkSession,
+      cfg: RewriteConfig = RewriteConfig(sortBy = "zkey"), nowMs: Long = 0L): Snapshot = {
+    val snap = table.log.current().getOrElse(sys.error("empty table"))
+    val files = table.log.dataFiles(snap)
+    val dict = sourceDict(snap, files)
+    val op = if (cfg.sortBy == "hilbert") "hilbert" else "zorder"
+    val passId = s"$op-v${snap.version}"
+    val lin = new LineageLog(table.root)
+
+    val byPartition = files.groupBy(_.partition.getOrElse("source", ""))
+    val done = lin.completed(passId)
+    val staged = scala.collection.mutable.ArrayBuffer.empty[(String, Seq[DataFile], Path)]
+
+    for ((p, fs) <- byPartition.toSeq.sortBy(_._1) if fs.nonEmpty) {
+      done.get(p) match {
+        case Some(rec) =>
+          staged += ((p, fs, table.log.absolute(rec.filesOut.head)))
+        case None =>
+          val bytes = fs.map(_.bytes).sum
+          val nOut = math.max(1, math.ceil(bytes.toDouble / cfg.targetFileBytes).toInt)
+          val paths = fs.map(f => table.log.absolute(f.path).toString)
+          val out = table.log.newDataSubdir()
+          val key = sortColumn(cfg.sortBy, dict).getOrElse(col("doc_id"))
+          spark.read.schema(TokenRow.schema).parquet(paths: _*)
+            .withColumn("__sk", key)
+            .repartitionByRange(nOut, col("__sk"))
+            .sortWithinPartitions(col("__sk"))
+            .drop("__sk")
+            .withColumn("p_source", col("source"))
+            .write.partitionBy("p_source").parquet(out.toString)
+          lin.append(LineageRecord(passId, op, p, "done", fs.size,
+            Seq(table.log.relativize(out)), fs.map(_.rows).sum, bytes, 1))
+          staged += ((p, fs, out))
+      }
+    }
+
+    if (staged.isEmpty) return snap
+    val removed = staged.flatMap(_._2).map(_.path).toSet
+    table.commitRewrite(removed, staged.map(_._3).toSeq, nowMs, op,
+      Map("source-dict" -> dict.mkString(","), "pass-id" -> passId))
+  }
+}

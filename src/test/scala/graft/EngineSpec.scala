@@ -1,0 +1,189 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.gen.Synth
+import graft.maint.{Expire, Merge, Rewrite, RewriteConfig}
+
+/**
+ * End-to-end minimum slice (SURVEY.md §7.2) and the DQ-style invariant
+ * suite (§5.2): generator → commit → scan → compact → zorder → merge →
+ * expire, asserting per-row token-array byte-identity across every pass.
+ */
+class EngineSpec extends SparkTestBase {
+
+  val rows = 20000L
+
+  lazy val root: String = tmpDir("graft-table")
+  lazy val table: TokenTable = {
+    val t = TokenTable.create(root, spark)
+    val df = Synth.table(spark, rows, seed = 42L, minTok = 16, maxTok = 512)
+    t.append(df, targetFileCount = 60, nowMs = 1L)
+    t
+  }
+
+  /** order-insensitive content fingerprint over (doc_id, tokens, n_tok, source);
+    * decimal accumulator — ANSI mode (Spark 4 default) rejects long overflow */
+  def fingerprint(df: DataFrame): java.math.BigDecimal =
+    df.select(xxhash64(col("doc_id"), col("tokens"), col("n_tok"), col("source"))
+        .cast("decimal(38,0)").as("h"))
+      .agg(sum(col("h"))).collect()(0).getDecimal(0)
+
+  def currentDf: DataFrame = table.scan()._1
+
+  test("v1: append lands all rows with DQ invariants") {
+    val df = currentDf
+    assert(df.count() === rows)
+    // invariants mirroring the reference DQ suite (dq_expectations.py)
+    assert(df.filter(col("doc_id").isNull || col("tokens").isNull ||
+      col("n_tok").isNull || col("source").isNull).count() === 0)
+    assert(df.filter(col("n_tok") =!= size(col("tokens"))).count() === 0)
+    assert(df.filter(col("n_tok") < 1).count() === 0)
+    assert(df.select("doc_id").distinct().count() === rows)
+    // Zipf skew materialized: web is the hot source
+    val top = df.groupBy("source").count().orderBy(desc("count"))
+      .head().getString(0)
+    assert(top === "web")
+  }
+
+  test("generator is deterministic across parallelism levels") {
+    val a = Synth.table(spark, 5000, 42L).repartition(3)
+    val b = Synth.table(spark, 5000, 42L).repartition(17)
+    assert(fingerprint(a) === fingerprint(b))
+  }
+
+  test("compaction: fewer files, byte-identical content, FFD histogram") {
+    val before = table.describe()
+    val fpBefore = fingerprint(currentDf)
+    val filesBefore = before("files").toInt
+    val v1 = table.log.currentVersion().get
+
+    Rewrite.compact(table, spark,
+      RewriteConfig(targetFileBytes = 1L * 1024 * 1024, sortBy = "docid"), nowMs = 2L)
+
+    val after = table.describe()
+    assert(after("files").toInt < filesBefore, s"$before -> $after")
+    assert(after("rows") === before("rows"))
+    assert(fingerprint(currentDf) === fpBefore)
+
+    // per-row token-array byte-equality vs the pinned pre-compaction snapshot
+    val old = table.scan(version = Some(v1))._1.select(
+      col("doc_id"), col("tokens").as("old_tokens"))
+    val neu = currentDf.select(col("doc_id"), col("tokens"))
+    val mismatches = neu.join(old, "doc_id")
+      .filter(not(col("tokens") <=> col("old_tokens"))).count()
+    assert(mismatches === 0)
+  }
+
+  test("zorder cluster: content preserved, pruning beats unclustered layout") {
+    val fpBefore = fingerprint(currentDf)
+    val pred = Predicate.And(
+      Predicate.Eq("source", "code"),
+      Predicate.Between("n_tok", 64, 128))
+    val (_, mBefore) = table.scan(pred)
+
+    Rewrite.cluster(table, spark,
+      RewriteConfig(targetFileBytes = 512L * 1024, sortBy = "zkey"), nowMs = 3L)
+
+    assert(fingerprint(currentDf) === fpBefore)
+    val (dfP, mAfter) = table.scan(pred)
+    // pruned scan still returns exactly the matching rows
+    val full = currentDf.filter(col("source") === "code" &&
+      col("n_tok").between(64, 128))
+    assert(dfP.count() === full.count())
+    assert(mAfter.pruningRatio >= mBefore.pruningRatio,
+      s"before=$mBefore after=$mAfter")
+    assert(mAfter.filesKept < mAfter.filesTotal,
+      s"clustered scan should skip files: $mAfter")
+  }
+
+  test("merge: upsert/delete semantics, untouched rows byte-identical") {
+    val base = table.log.current().get
+    val baseDf = currentDf.cache()
+    val baseCount = baseDf.count()
+    val changes = Synth.changeSet(spark, rows, seed = 42L,
+      updates = 500, inserts = 300, deletes = 150, minTok = 16, maxTok = 512)
+      .cache()
+
+    // classify the deduped change-set exactly as the merge will
+    val deduped = Merge.dedupSource(changes).cache()
+    val updKeys = deduped.filter(col("_op") === "upsert")
+      .join(baseDf.select("doc_id"), "doc_id").select("doc_id")
+    val insKeys = deduped.filter(col("_op") === "upsert")
+      .join(baseDf.select("doc_id"), Seq("doc_id"), "left_anti").select("doc_id")
+    val delKeys = deduped.filter(col("_op") === "delete")
+      .join(baseDf.select("doc_id"), "doc_id").select("doc_id")
+    val (nUpd, nIns, nDel) = (updKeys.count(), insKeys.count(), delKeys.count())
+
+    Merge.run(table, spark, changes, nowMs = 4L)
+
+    val after = currentDf.cache()
+    assert(after.count() === baseCount + nIns - nDel)
+    // doc_id still unique (reference DQ invariant)
+    assert(after.select("doc_id").distinct().count() === after.count())
+    // deletes gone
+    assert(after.join(delKeys, "doc_id").count() === 0)
+    // inserts present
+    assert(after.join(insKeys, "doc_id").count() === nIns)
+    // updated rows carry the source payload
+    val updatedRows = after.join(
+      deduped.filter(col("_op") === "upsert")
+        .select(col("doc_id"), col("tokens").as("s_tokens")),
+      "doc_id")
+    assert(updatedRows.filter(not(col("tokens") <=> col("s_tokens"))).count() === 0)
+    // untouched rows byte-identical vs pre-merge snapshot
+    val touchedKeys = updKeys.unionByName(delKeys).unionByName(insKeys)
+    val untouched = table.scan(version = Some(base.version))._1
+      .join(touchedKeys, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("tokens").as("old_tokens"))
+    val cmp = after.join(untouched, "doc_id")
+    assert(cmp.count() === baseCount - nUpd - nDel)
+    assert(cmp.filter(not(col("tokens") <=> col("old_tokens"))).count() === 0)
+
+    // the merge join really is a sorted merge on doc_id
+    baseDf.unpersist(); changes.unpersist(); deduped.unpersist(); after.unpersist()
+  }
+
+  test("merge plan uses SortMergeJoin on doc_id") {
+    val t = currentDf.select(col("doc_id"), col("tokens"))
+    val s = Synth.changeSet(spark, 1000, 42L, 50, 20, 10, 16, 64)
+      .select(col("doc_id").as("s_doc_id"))
+    val plan = t.hint("merge")
+      .join(s.hint("merge"), col("doc_id") === col("s_doc_id"), "full_outer")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin"), plan)
+  }
+
+  test("snapshot expire GCs exactly the unreachable files") {
+    import scala.jdk.CollectionConverters._
+    val log = table.log
+    val versionsBefore = log.versions()
+    assert(versionsBefore.size >= 4)
+    val retained = versionsBefore.takeRight(2)
+    val liveFiles = retained.map(log.snapshot).flatMap(log.dataFiles)
+      .map(_.path).toSet
+    val allReferenced = versionsBefore.map(log.snapshot).flatMap(log.dataFiles)
+      .map(_.path).toSet
+    val expectDead = allReferenced -- liveFiles
+
+    val fp = fingerprint(currentDf)
+    val report = Expire.run(table, retain = 2)
+
+    assert(report.deletedDataFiles.toSet === expectDead)
+    assert(log.versions() === retained)
+    // every retained file still exists; every dead file is gone
+    liveFiles.foreach(p => assert(java.nio.file.Files.exists(log.absolute(p)), p))
+    expectDead.foreach(p => assert(!java.nio.file.Files.exists(log.absolute(p)), p))
+    // current snapshot unharmed
+    assert(fingerprint(currentDf) === fp)
+  }
+
+  test("manifest rewrite compacts metadata without touching data") {
+    val fp = fingerprint(currentDf)
+    val before = table.log.current().get.manifestList.size
+    val snap = Expire.rewriteManifests(table, nowMs = 6L)
+    assert(snap.manifestList.size <= before)
+    assert(fingerprint(currentDf) === fp)
+  }
+}
