@@ -102,6 +102,11 @@ object Maintain {
           val t = TokenTable.load(root, spark)
           val s = Expire.rewriteManifests(t, nowMs)
           report(t, s.version)
+        case "dq" =>
+          val t = TokenTable.load(root, spark)
+          val r = graft.dq.DQ.gate(t, spark)
+          println(s"DQ PASSED: " + r.checks.toSeq.sortBy(_._1)
+            .map { case (k, v) => s"$k=$v" }.mkString(" "))
         case "describe" =>
           val t = TokenTable.load(root, spark)
           report(t, t.log.currentVersion().getOrElse(-1L))
@@ -124,7 +129,8 @@ object Maintain {
           println(s"rows=$n filesKept=${m.filesKept}/${m.filesTotal} " +
             f"pruning=${m.pruningRatio}%.3f bytesKept=${m.bytesKept}/${m.bytesTotal}")
         case other =>
-          System.err.println(s"error: unknown command '$other'"); usage(); sys.exit(2)
+          System.err.println(s"error: unknown command '$other'"); usage()
+          spark.stop(); sys.exit(2)
       }
     } finally spark.stop()
   }
@@ -158,7 +164,7 @@ object Maintain {
   }
 
   private def usage(): Unit = System.err.println(
-    """usage: graft.Maintain <init|append|compact|zorder|hilbert|merge|expire|rewrite-manifests|describe|scan> --table <root> [options]
+    """usage: graft.Maintain <init|append|compact|zorder|hilbert|merge|expire|rewrite-manifests|dq|describe|scan> --table <root> [options]
       |  init/append: --rows N --seed S --files K
       |  compact/zorder/hilbert: --target-mb M [--sort-by docid|zkey|hilbert|none]
       |  merge: --updates U --inserts I --deletes D --seed S

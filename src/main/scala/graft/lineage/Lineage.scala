@@ -38,8 +38,9 @@ final class LineageLog(root: String) {
 
   private def logPath(passId: String): Path = dir.resolve(s"$passId.jsonl")
 
-  /** Append one record (single atomic O_APPEND write of one line). */
-  def append(r: LineageRecord): Unit = {
+  /** Append one record (single atomic O_APPEND write of one line).
+    * Synchronized: partition units may complete concurrently. */
+  def append(r: LineageRecord): Unit = synchronized {
     Files.createDirectories(dir)
     Files.writeString(logPath(r.passId), Json.write(r) + "\n",
       StandardOpenOption.CREATE, StandardOpenOption.APPEND)

@@ -61,6 +61,23 @@ object ExactPartition {
   def keys(n: Int): Array[Int] = Array.tabulate(n)(keyFor(_, n))
 }
 
+/** Bounded concurrent execution of per-partition maintenance units. Each
+  * unit is one Spark job; submitting several keeps all executor slots busy
+  * when individual partitions are smaller than the cluster (Spark's
+  * scheduler interleaves their stages). Order of results is preserved. */
+object Concurrency {
+  def mapUnits[A, B](units: Seq[A], maxConcurrent: Int = 8)(f: A => B): Seq[B] = {
+    if (units.size <= 1) return units.map(f)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(maxConcurrent, units.size))
+    try {
+      val futs = units.map(u => pool.submit(
+        new java.util.concurrent.Callable[B] { def call(): B = f(u) }))
+      futs.map(_.get())
+    } finally pool.shutdown()
+  }
+}
+
 final case class RewriteConfig(
     targetFileBytes: Long = 128L * 1024 * 1024,
     /** files smaller than this are compaction victims (default 3/4 target) */
@@ -127,18 +144,21 @@ object Rewrite {
     }
 
     val done = lin.completed(passId)
-    val staged = scala.collection.mutable.ArrayBuffer.empty[(String, Seq[Bin], Path)]
-    for ((p, bins) <- work.toSeq.sortBy(_._1)) {
+    // per-partition units run as CONCURRENT Spark jobs (bounded pool):
+    // within one partition the job parallelizes over its bins; across
+    // partitions concurrency keeps the cluster saturated when individual
+    // partitions are small (the scheduler interleaves their stages)
+    val staged = Concurrency.mapUnits(work.toSeq.sortBy(_._1)) { case (p, bins) =>
       done.get(p) match {
         case Some(rec) =>
-          staged += ((p, bins, table.log.absolute(rec.filesOut.head)))
+          (p, bins, table.log.absolute(rec.filesOut.head))
         case None =>
           val out = rewriteBins(table, spark, bins, cfg.sortBy, dict)
           lin.append(LineageRecord(passId, "compact", p, "done",
             bins.iterator.map(_.files.size).sum,
             Seq(table.log.relativize(out)),
             bins.iterator.map(_.rows).sum, bins.iterator.map(_.bytes).sum, 1))
-          staged += ((p, bins, out))
+          (p, bins, out)
       }
     }
 
@@ -195,12 +215,12 @@ object Rewrite {
 
     val byPartition = files.groupBy(_.partition.getOrElse("source", ""))
     val done = lin.completed(passId)
-    val staged = scala.collection.mutable.ArrayBuffer.empty[(String, Seq[DataFile], Path)]
 
-    for ((p, fs) <- byPartition.toSeq.sortBy(_._1) if fs.nonEmpty) {
+    val staged = Concurrency.mapUnits(
+      byPartition.toSeq.sortBy(_._1).filter(_._2.nonEmpty)) { case (p, fs) =>
       done.get(p) match {
         case Some(rec) =>
-          staged += ((p, fs, table.log.absolute(rec.filesOut.head)))
+          (p, fs, table.log.absolute(rec.filesOut.head))
         case None =>
           val bytes = fs.map(_.bytes).sum
           val nOut = math.max(1, math.ceil(bytes.toDouble / cfg.targetFileBytes).toInt)
@@ -216,7 +236,7 @@ object Rewrite {
             .write.partitionBy("p_source").parquet(out.toString)
           lin.append(LineageRecord(passId, op, p, "done", fs.size,
             Seq(table.log.relativize(out)), fs.map(_.rows).sum, bytes, 1))
-          staged += ((p, fs, out))
+          (p, fs, out)
       }
     }
 

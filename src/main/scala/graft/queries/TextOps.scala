@@ -1,0 +1,272 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Training-data pipeline text operators over the `documents` table:
+ * deduplication (exact, n-gram Jaccard, MinHash+LSH, SimHash), language-ID,
+ * quality scoring, token counting, and document fingerprinting.
+ *
+ * All transforms are Catalyst HOFs over word arrays — no UDFs (the
+ * reference's discipline: every transform is a Column combinator,
+ * /root/reference/spark/lib/utils.py:74-103 — kept so the hot path stays in
+ * whole-stage codegen). md5 is the cross-engine hash (DuckDB has no
+ * xxhash64); the engine-internal paths use xxhash64.
+ *
+ * Scale shapes: dedup candidate generation is blocked (rare-shingle
+ * filtering / LSH banding) so pair blowup is bounded by posting-list
+ * length, not O(n²); everything else is embarrassingly parallel per row.
+ */
+object TextOps {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/documents.parquet")
+
+  private val ws = split(col("text"), " ")
+
+  /** distinct bigram shingles of the space-separated word stream */
+  private val bigrams: Column = array_distinct(
+    transform(sequence(lit(1), size(ws) - 1),
+      i => concat_ws(" ", element_at(ws, i), element_at(ws, i + 1))))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // exact dedup: survivors = one per distinct text hash (group-min rule)
+    "d01_dedup_exact" -> ((s, dir) => {
+      docs(s, dir)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(md5(col("text"))).as("n_distinct_text"),
+          min(col("doc_id")).as("first_doc"))
+        .orderBy("source")
+    }),
+
+    // n-gram Jaccard near-dup: candidate pairs via rare-shingle postings
+    // (df <= 20 blocks the pair blowup), scored by |∩|/|A∪B| over bigram
+    // sets; deterministic total order
+    "d02_dedup_ngram_jaccard" -> ((s, dir) => {
+      val d = docs(s, dir)
+        .select(col("doc_id"), col("lang"), bigrams.as("sh"))
+        .withColumn("nsh", size(col("sh")).cast("long"))
+      val posts = d.select(col("doc_id"), col("lang"), col("nsh"),
+        explode(col("sh")).as("g"))
+      val rare = posts.groupBy("g").agg(count(lit(1)).as("df"))
+        .filter(col("df") <= 20 && col("df") >= 2)
+      val p = posts.join(rare, "g")
+      // distinct aliases on both sides: a self-join on same-lineage columns
+      // would resolve to a trivially-true predicate
+      val a = p.select(col("g"), col("lang"),
+        col("doc_id").as("a"), col("nsh").as("na"))
+      val b = p.select(col("g").as("g_b"), col("lang").as("lang_b"),
+        col("doc_id").as("b"), col("nsh").as("nb"))
+      a.join(b, col("g") === col("g_b") && col("lang") === col("lang_b") &&
+          col("a") < col("b"))
+        .groupBy("a", "b", "na", "nb")
+        .agg(count(lit(1)).as("inter"))
+        .withColumn("jacc",
+          col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
+        .filter(col("jacc") >= 0.002)
+        .select(col("a"), col("b"), col("jacc"))
+        .orderBy(desc("jacc"), asc("a"), asc("b"))
+        .limit(100)
+    }),
+
+    // MinHash + LSH banding: 6 hash funcs over the distinct word set,
+    // 2 bands of 3 → docs sharing a band are near-dup candidates
+    "d03_dedup_minhash_lsh" -> ((s, dir) => {
+      def sig(i: Int): Column = array_min(
+        transform(array_distinct(ws), w => md5(concat(lit(s"$i:"), w))))
+      val d = docs(s, dir).select(
+        col("doc_id"),
+        md5(concat_ws("|", sig(0), sig(1), sig(2))).as("band1"),
+        md5(concat_ws("|", sig(3), sig(4), sig(5))).as("band2"))
+      val b1 = d.select(col("doc_id"), col("band1").as("bkt"), lit(1L).as("band"))
+      val b2 = d.select(col("doc_id"), col("band2").as("bkt"), lit(2L).as("band"))
+      val all = b1.unionByName(b2)
+      val l = all.select(col("bkt"), col("band"), col("doc_id").as("a"))
+      val r = all.select(col("bkt").as("bkt_r"), col("band").as("band_r"),
+        col("doc_id").as("b"))
+      l.join(r, col("bkt") === col("bkt_r") && col("band") === col("band_r") &&
+          col("a") < col("b"))
+        .select("a", "b", "band").distinct()
+        .orderBy("a", "b", "band")
+    }),
+
+    // SimHash: 16-bit signature from per-word md5 nibbles (bit i = sign of
+    // Σ ±1 over words, + when hex digit i of md5(word) >= '8')
+    "d04_dedup_simhash" -> ((s, dir) => {
+      val hs = transform(ws, w => md5(w))
+      val n = size(ws)
+      val bits = (1 to 16).map { i =>
+        when(size(filter(hs, h => substring(h, i, 1) >= "8")) * 2 - n > 0,
+          "1").otherwise("0")
+      }
+      docs(s, dir)
+        .select(col("doc_id"), concat(bits: _*).as("simhash"))
+        .orderBy("doc_id")
+    }),
+
+    // language-ID: stopword-occurrence scores via the replace trick
+    // (identical cross-engine, no regex dialects), argmax with fixed
+    // priority tiebreak en > es > zh
+    "t01_language_id" -> ((s, dir) => {
+      def occ(w: String): Column =
+        (length(concat(lit(" "), col("text"), lit(" "))) -
+          length(expr(s"replace(concat(' ', text, ' '), ' $w ', '')")))
+      val sEn = (occ("the") + occ("a") + occ("value")).as("s_en")
+      val sEs = (occ("data") + occ("row") + occ("join")).as("s_es")
+      val sZh = (occ("table") + occ("scan") + occ("merge")).as("s_zh")
+      docs(s, dir)
+        .withColumn("s_en", sEn).withColumn("s_es", sEs).withColumn("s_zh", sZh)
+        .withColumn("predicted",
+          when(col("s_en") >= col("s_es") && col("s_en") >= col("s_zh"), "en")
+            .when(col("s_es") >= col("s_zh"), "es")
+            .otherwise("zh"))
+        .groupBy("lang", "predicted").agg(count(lit(1)).as("n"))
+        .orderBy("lang", "predicted")
+    }),
+
+    // quality scoring: length / distinct-ratio / stopword-density features,
+    // integer-exact (x1000 fixed-point via integer division)
+    "t02_quality_score" -> ((s, dir) => {
+      val nW = size(ws).cast("long")
+      val sumLen = aggregate(transform(ws, w => length(w).cast("long")),
+        lit(0L), (acc, x) => acc + x)
+      val nDist = size(array_distinct(ws)).cast("long")
+      val stops = size(filter(ws,
+        w => w.isin("the", "a", "data", "value", "row"))).cast("long")
+      docs(s, dir)
+        .select(
+          col("doc_id"),
+          nW.as("n_words"),
+          expr("CAST(n_chars AS BIGINT)").as("n_chars_l"),
+          sumLen.as("sum_wlen"),
+          (nDist * 1000L).divide(nW).cast("long").as("distinct_x1000"),
+          (stops * 1000L).divide(nW).cast("long").as("stop_x1000"))
+        .orderBy("doc_id")
+    }),
+
+    // token counting: whitespace words + a BPE-ish regex segmentation
+    "t03_token_count" -> ((s, dir) => {
+      val bpe = size(regexp_extract_all(lower(col("text")),
+        lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0))).cast("long")
+      docs(s, dir)
+        .withColumn("n_ws_tokens", size(ws).cast("long"))
+        .withColumn("n_bpe_tokens", bpe)
+        .groupBy("source")
+        .agg(sum(col("n_ws_tokens")).as("sum_ws"),
+          sum(col("n_bpe_tokens")).as("sum_bpe"),
+          max(col("n_bpe_tokens")).as("max_bpe"),
+          count(lit(1)).as("n_docs"))
+        .orderBy("source")
+    }),
+
+    // document fingerprinting: full-text hash + min/max word-hash sketch
+    // (minhash-1) + head-of-document rolling piece
+    "t04_fingerprint" -> ((s, dir) => {
+      val hs = transform(array_distinct(ws), w => md5(w))
+      docs(s, dir)
+        .select(
+          col("doc_id"),
+          md5(col("text")).as("fp_full"),
+          array_min(hs).as("fp_min"),
+          array_max(hs).as("fp_max"),
+          md5(concat_ws(" ", slice(ws, 1, 8))).as("fp_head"))
+        .orderBy("doc_id")
+    }))
+
+  val oracle: Map[String, String] = Map(
+    "d01_dedup_exact" ->
+      """SELECT source, count(*) AS n_docs,
+        |  count(DISTINCT md5(text)) AS n_distinct_text,
+        |  min(doc_id) AS first_doc
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+    "d02_dedup_ngram_jaccard" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang,
+        |    list_distinct(list_transform(range(1, len(string_split(text,' '))),
+        |      i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1])) AS sh
+        |  FROM documents),
+        |posts AS (
+        |  SELECT doc_id, lang, CAST(len(sh) AS BIGINT) AS nsh, unnest(sh) AS g FROM d),
+        |rare AS (
+        |  SELECT g FROM posts GROUP BY g HAVING count(*) <= 20 AND count(*) >= 2),
+        |p AS (SELECT posts.* FROM posts JOIN rare USING (g)),
+        |pairs AS (
+        |  SELECT x.doc_id AS a, y.doc_id AS b, x.nsh AS na, y.nsh AS nb,
+        |    count(*) AS inter
+        |  FROM p x JOIN p y ON x.g = y.g AND x.lang = y.lang
+        |    AND x.doc_id < y.doc_id
+        |  GROUP BY 1,2,3,4)
+        |SELECT a, b, CAST(inter AS DOUBLE) / (na + nb - inter) AS jacc
+        |FROM pairs WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= 0.002
+        |ORDER BY jacc DESC, a ASC, b ASC LIMIT 100""".stripMargin,
+    "d03_dedup_minhash_lsh" ->
+      """WITH sigs AS (
+        |  SELECT doc_id,
+        |    md5(concat_ws('|',
+        |      list_aggregate(list_transform(list_distinct(string_split(text,' ')), w -> md5('0:' || w)), 'min'),
+        |      list_aggregate(list_transform(list_distinct(string_split(text,' ')), w -> md5('1:' || w)), 'min'),
+        |      list_aggregate(list_transform(list_distinct(string_split(text,' ')), w -> md5('2:' || w)), 'min'))) AS band1,
+        |    md5(concat_ws('|',
+        |      list_aggregate(list_transform(list_distinct(string_split(text,' ')), w -> md5('3:' || w)), 'min'),
+        |      list_aggregate(list_transform(list_distinct(string_split(text,' ')), w -> md5('4:' || w)), 'min'),
+        |      list_aggregate(list_transform(list_distinct(string_split(text,' ')), w -> md5('5:' || w)), 'min'))) AS band2
+        |  FROM documents),
+        |buckets AS (
+        |  SELECT doc_id, band1 AS bkt, CAST(1 AS BIGINT) AS band FROM sigs
+        |  UNION ALL
+        |  SELECT doc_id, band2 AS bkt, CAST(2 AS BIGINT) AS band FROM sigs)
+        |SELECT DISTINCT x.doc_id AS a, y.doc_id AS b, x.band AS band
+        |FROM buckets x JOIN buckets y
+        |  ON x.bkt = y.bkt AND x.band = y.band AND x.doc_id < y.doc_id
+        |ORDER BY a, b, band""".stripMargin,
+    "d04_dedup_simhash" -> {
+      val bits = (1 to 16).map { i =>
+        s"CASE WHEN 2*len(list_filter(list_transform(string_split(text,' '), w -> md5(w)), h -> substr(h,$i,1) >= '8')) - len(string_split(text,' ')) > 0 THEN '1' ELSE '0' END"
+      }.mkString(" || ")
+      s"""SELECT doc_id, $bits AS simhash
+         |FROM documents ORDER BY doc_id""".stripMargin
+    },
+    "t01_language_id" -> {
+      def occ(w: String) =
+        s"(length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' $w ', '')))"
+      s"""WITH scored AS (
+         |  SELECT lang,
+         |    ${occ("the")} + ${occ("a")} + ${occ("value")} AS s_en,
+         |    ${occ("data")} + ${occ("row")} + ${occ("join")} AS s_es,
+         |    ${occ("table")} + ${occ("scan")} + ${occ("merge")} AS s_zh
+         |  FROM documents)
+         |SELECT lang,
+         |  CASE WHEN s_en >= s_es AND s_en >= s_zh THEN 'en'
+         |       WHEN s_es >= s_zh THEN 'es' ELSE 'zh' END AS predicted,
+         |  count(*) AS n
+         |FROM scored GROUP BY 1, 2 ORDER BY lang, predicted""".stripMargin
+    },
+    "t02_quality_score" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split(text,' ')) AS BIGINT) AS n_words,
+        |  CAST(n_chars AS BIGINT) AS n_chars_l,
+        |  CAST(list_aggregate(list_transform(string_split(text,' '), w -> length(w)), 'sum') AS BIGINT) AS sum_wlen,
+        |  CAST(len(list_distinct(string_split(text,' '))) AS BIGINT) * 1000
+        |    // len(string_split(text,' ')) AS distinct_x1000,
+        |  CAST(len(list_filter(string_split(text,' '),
+        |    w -> w IN ('the','a','data','value','row'))) AS BIGINT) * 1000
+        |    // len(string_split(text,' ')) AS stop_x1000
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "t03_token_count" ->
+      """SELECT source,
+        |  CAST(sum(len(string_split(text,' '))) AS BIGINT) AS sum_ws,
+        |  CAST(sum(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]'))) AS BIGINT) AS sum_bpe,
+        |  CAST(max(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]'))) AS BIGINT) AS max_bpe,
+        |  count(*) AS n_docs
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+    "t04_fingerprint" ->
+      """SELECT doc_id,
+        |  md5(text) AS fp_full,
+        |  list_aggregate(list_transform(list_distinct(string_split(text,' ')), w -> md5(w)), 'min') AS fp_min,
+        |  list_aggregate(list_transform(list_distinct(string_split(text,' ')), w -> md5(w)), 'max') AS fp_max,
+        |  md5(array_to_string(string_split(text,' ')[1:8], ' ')) AS fp_head
+        |FROM documents ORDER BY doc_id""".stripMargin)
+}

@@ -1,0 +1,154 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Similarity search over the `embeddings` table (vec_id, embedding:
+ * array<float>, label).
+ *
+ * Arithmetic parity: every fold is done in DOUBLE after an explicit
+ * per-element cast, sequentially (Catalyst `aggregate` HOF on one side,
+ * DuckDB `list_aggregate('sum')` on the other) so both engines produce
+ * bit-identical doubles — verified empirically over every pair at sf0.01.
+ *
+ * Scale path: e01 brute force is the O(Q·N) baseline (fine when Q is small
+ * or N fits a broadcast); e02/e03 is the bucketed variant — sign-bit LSH
+ * over coordinate-block sums turns top-k into a per-bucket local problem,
+ * the standard shuffle-bounded ANN shape (bucket join instead of cross
+ * join). All of it is Catalyst HOFs — no UDF, stays in codegen.
+ */
+object VectorOps {
+
+  private def emb(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/embeddings.parquet")
+
+  /** elementwise double cast */
+  private def d(c: Column): Column = transform(c, x => x.cast("double"))
+
+  /** sequential double fold of a*b */
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  private def norm(a: Column): Column = sqrt(dot(a, a))
+
+  private def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (norm(a) * norm(b))
+
+  /** 4-bit sign-LSH bucket from block sums of 16 coordinates each */
+  private def bucket(e: Column): Column = {
+    val bits = (0 until 4).map { k =>
+      val block = d(slice(e, k * 16 + 1, 16))
+      when(aggregate(block, lit(0.0), (acc, v) => acc + v) >= 0, "1").otherwise("0")
+    }
+    concat(bits: _*)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // brute-force cosine top-k: the correctness baseline for ANN
+    "e01_ann_bruteforce" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = emb(s, dir)
+      val q = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), d(col("embedding")).as("qe"))
+      val c = e.select(col("vec_id").as("n_id"), d(col("embedding")).as("ne"))
+      val scored = q.join(c, col("q_id") =!= col("n_id"))
+        .withColumn("cos", cosine(col("qe"), col("ne")))
+      val w = Window.partitionBy("q_id").orderBy(desc("cos"), asc("n_id"))
+      scored.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+        .select(col("q_id"), col("n_id"), col("rank").cast("long").as("rank"))
+        .orderBy("q_id", "rank")
+    }),
+
+    // LSH bucket histogram: the partitioning the scale path hangs on
+    "e02_lsh_buckets" -> ((s, dir) => {
+      emb(s, dir)
+        .groupBy(bucket(col("embedding")).as("bucket"))
+        .agg(count(lit(1)).as("n_vectors"))
+        .orderBy("bucket")
+    }),
+
+    // bucketed ANN: top-1 cosine neighbor within the query's LSH bucket —
+    // bucket equi-join replaces the cross join
+    "e03_ann_lsh" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = emb(s, dir).withColumn("bucket", bucket(col("embedding")))
+      val q = e.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("q_id"), d(col("embedding")).as("qe"),
+          col("bucket"))
+      val c = e.select(col("vec_id").as("n_id"), d(col("embedding")).as("ne"),
+        col("bucket").as("bucket_n"))
+      val w = Window.partitionBy("q_id").orderBy(desc("cos"), asc("n_id"))
+      q.join(c, col("bucket") === col("bucket_n") && col("q_id") =!= col("n_id"))
+        .withColumn("cos", cosine(col("qe"), col("ne")))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") === 1)
+        .select(col("q_id"), col("n_id"))
+        .orderBy("q_id")
+    }),
+
+    // per-label vector stats; min/max only (no cross-row double sums —
+    // those are aggregation-order-dependent and would break the oracle)
+    "e04_vector_stats" -> ((s, dir) => {
+      emb(s, dir)
+        .withColumn("norm2", dot(d(col("embedding")), d(col("embedding"))))
+        .groupBy(col("label").cast("long").as("label"))
+        .agg(count(lit(1)).as("n"),
+          min(col("norm2")).as("min_norm2"),
+          max(col("norm2")).as("max_norm2"),
+          min(size(col("embedding")).cast("long")).as("dim"))
+        .orderBy("label")
+    }))
+
+  private val dotSql =
+    "list_aggregate(list_transform(range(1, 65), i -> CAST(%A%[i] AS DOUBLE) * CAST(%B%[i] AS DOUBLE)), 'sum')"
+
+  private def dotS(a: String, b: String): String =
+    dotSql.replace("%A%", a).replace("%B%", b)
+
+  private def cosS(a: String, b: String): String =
+    s"(${dotS(a, b)} / (sqrt(${dotS(a, a)}) * sqrt(${dotS(b, b)})))"
+
+  private val bucketSql = (0 until 4).map { k =>
+    val lo = k * 16 + 1; val hi = k * 16 + 16
+    s"CASE WHEN list_aggregate(list_transform(range($lo, ${hi + 1}), i -> CAST(embedding[i] AS DOUBLE)), 'sum') >= 0 THEN '1' ELSE '0' END"
+  }.mkString(" || ")
+
+  val oracle: Map[String, String] = Map(
+    "e01_ann_bruteforce" ->
+      s"""WITH scored AS (
+         |  SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+         |    ${cosS("q.embedding", "c.embedding")} AS cos
+         |  FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+         |  WHERE q.vec_id < 10),
+         |ranked AS (
+         |  SELECT q_id, n_id,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id ASC) AS rank
+         |  FROM scored)
+         |SELECT q_id, n_id, CAST(rank AS BIGINT) AS rank FROM ranked
+         |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
+    "e02_lsh_buckets" ->
+      s"""SELECT ($bucketSql) AS bucket, count(*) AS n_vectors
+         |FROM embeddings GROUP BY 1 ORDER BY bucket""".stripMargin,
+    "e03_ann_lsh" ->
+      s"""WITH b AS (
+         |  SELECT vec_id, embedding, ($bucketSql) AS bucket FROM embeddings),
+         |scored AS (
+         |  SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+         |    ${cosS("q.embedding", "c.embedding")} AS cos
+         |  FROM b q JOIN b c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+         |  WHERE q.vec_id < 20),
+         |ranked AS (
+         |  SELECT q_id, n_id,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id ASC) AS rank
+         |  FROM scored)
+         |SELECT q_id, n_id FROM ranked WHERE rank = 1 ORDER BY q_id""".stripMargin,
+    "e04_vector_stats" ->
+      s"""SELECT CAST(label AS BIGINT) AS label, count(*) AS n,
+         |  min(${dotS("embedding", "embedding")}) AS min_norm2,
+         |  max(${dotS("embedding", "embedding")}) AS max_norm2,
+         |  CAST(min(len(embedding)) AS BIGINT) AS dim
+         |FROM embeddings GROUP BY 1 ORDER BY label""".stripMargin)
+}

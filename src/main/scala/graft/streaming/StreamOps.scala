@@ -1,0 +1,71 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/**
+ * Structured Streaming surface. The reference has no streaming
+ * (SURVEY.md §2.9 — its incrementality is batch generation-tagging), so
+ * this is the engine's forward-looking stream path over the `events`
+ * table: file-source → watermark → windowed aggregation, driven
+ * synchronously for deterministic verification (memory sink +
+ * processAllAvailable; the batch-equivalent GROUP BY time_bucket is the
+ * DuckDB oracle).
+ *
+ * Scale shape: event-time windows + watermark bound the state store; the
+ * aggregation is the standard partial/final pair over (window, key).
+ */
+object StreamOps {
+
+  val eventsSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", TimestampNTZType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** Windowed count per (1-day event-time window, event_type), computed by
+    * an actual streaming query over the parquet file source. */
+  def windowedCounts(s: SparkSession, dir: String): DataFrame = {
+    val name = "s01_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    // the streaming file source wants a DIRECTORY it can watch; stage the
+    // static fixture into one (hard link — no copy)
+    val streamDir = java.nio.file.Files.createTempDirectory("graft-stream")
+    val target = streamDir.resolve("events.parquet")
+    try java.nio.file.Files.createLink(target,
+      java.nio.file.Paths.get(dir, "events.parquet"))
+    catch { case _: Exception =>
+      java.nio.file.Files.copy(java.nio.file.Paths.get(dir, "events.parquet"), target)
+    }
+    val stream = s.readStream
+      .schema(eventsSchema)
+      .parquet(streamDir.toString)
+      // watermarks need TIMESTAMP (LTZ); session tz is pinned UTC so the
+      // cast is instant-preserving and the window starts stay naive-UTC
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 day"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val q = stream.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(name)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    s.table(name)
+      .select(col("window.start").cast("string").as("win_start"),
+        col("event_type"), col("n"))
+      .orderBy("win_start", "event_type")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s01_stream_window" -> ((s, dir) => windowedCounts(s, dir)))
+
+  val oracle: Map[String, String] = Map(
+    "s01_stream_window" ->
+      """SELECT CAST(time_bucket(INTERVAL '1 day', ts) AS VARCHAR) AS win_start,
+        |  event_type, count(*) AS n
+        |FROM events GROUP BY 1, 2 ORDER BY win_start, event_type""".stripMargin)
+}
