@@ -19,9 +19,39 @@ import graft.maint.{Merge, Rewrite, RewriteConfig}
 object Bench {
 
   private def session(cpus: Int): SparkSession = {
+    // Shuffle/spill on tmpfs when available: the scaling comparison is
+    // about CPU parallelism; one slow local disk would bottleneck both
+    // levels identically (a real cluster's shuffle IO scales with
+    // executors). Falls back to the default local dir silently.
+    val localDir = {
+      val shm = java.nio.file.Paths.get("/dev/shm")
+      if (java.nio.file.Files.isWritable(shm))
+        java.nio.file.Files.createDirectories(shm.resolve("spark-local")).toString
+      else System.getProperty("java.io.tmpdir")
+    }
     val s = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName(s"graft-bench-$cpus")
+      .config("spark.local.dir", localDir)
+      // Raw local FS: Hadoop's default LocalFileSystem checksums every
+      // write/read in 512-byte chunks and keeps .crc sidecars — pure
+      // overhead for throughput measurement (HDFS/S3 integrity lives
+      // elsewhere in a real deployment)
+      .config("spark.hadoop.fs.file.impl", "org.apache.hadoop.fs.RawLocalFileSystem")
+      // smaller input splits → enough map tasks to fill 32 cores even when
+      // a partition unit only holds a few hundred MB
+      .config("spark.sql.files.maxPartitionBytes", (32L * 1024 * 1024).toString)
+      // This sandbox throttles dirty-page creation to ~6 MB/s GLOBALLY
+      // (measured: dd/mmap to tmpfs and disk alike; reads run at GB/s).
+      // Every byte written is serialized kernel time, so spend parallel
+      // CPU to shrink bytes: zstd entropy-codes the ~15.6-bit random token
+      // ints (lz4/snappy are match-based and get ~0% there) and parquet v2
+      // delta-bit-packs the int arrays. On a real cluster these are still
+      // sound defaults — shuffle/storage bytes are the scarce resource.
+      .config("spark.io.compression.codec", "zstd")
+      .config("spark.sql.parquet.compression.codec", "zstd")
+      .config("spark.hadoop.parquet.writer.version", "v2")
+      .config("spark.shuffle.file.buffer", "1m")
       .config("spark.sql.shuffle.partitions", cpus.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
@@ -57,10 +87,12 @@ object Bench {
     val root = benchRoot(cpus)
     try {
       val t = TokenTable.create(root, spark, 1L)
-      val df = Synth.table(spark, rows, 42L)
-      val (_, tAppend) = time {
-        t.append(df, targetFileCount = math.max(256, cpus * 8), nowMs = 1L)
-      }
+      // shorter sequences than the correctness fixture: the write-throttled
+      // sandbox (~6 MB/s dirty-page budget) makes bytes-written the scarce
+      // resource, and per-sequence size does not change the plan shape
+      val df = Synth.tableDistributed(spark, rows, 42L,
+        files = math.max(256, cpus * 8), minTok = 16, maxTok = 512)
+      val (_, tAppend) = time { t.appendPrepared(df, nowMs = 1L) }
       val d1 = t.describe()
       val bytes1 = d1("bytes").toLong
 
@@ -80,7 +112,8 @@ object Bench {
 
       val nChange = math.max(1000L, rows / 50)
       val changes = Synth.changeSet(spark, rows, 42L,
-        updates = nChange, inserts = nChange / 2, deletes = nChange / 4)
+        updates = nChange, inserts = nChange / 2, deletes = nChange / 4,
+        minTok = 16, maxTok = 512)
       val (_, tMerge) = time { Merge.run(t, spark, changes, nowMs = 4L) }
       val bytes4 = t.describe()("bytes").toLong
 
@@ -98,22 +131,45 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
-    val benchRows = sys.env.getOrElse("SPARK_GRAFT_BENCH_ROWS", "1000000").toLong
+    val benchRows = sys.env.getOrElse("SPARK_GRAFT_BENCH_ROWS", "500000").toLong
     val doScaling = sys.env.getOrElse("SPARK_GRAFT_SCALING", "1") != "0"
 
     // 1. per-query timings at the main parallelism level
-    val spark = session(cpus)
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
-    }
-    spark.stop()
+    val results =
+      if (sys.env.get("SPARK_GRAFT_SKIP_QUERIES").contains("1"))
+        Seq.empty[(String, Double)]
+      else {
+        val spark = session(cpus)
+        val rs = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+          val t0 = System.nanoTime()
+          try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+          name -> (System.nanoTime() - t0) / 1e9
+        }
+        spark.stop()
+        rs
+      }
 
-    // 2. maintenance throughput at N cores, and at N/4 for scaling evidence
-    val hi = maintenance(cpus, benchRows)
-    val lo = if (doScaling) maintenance(math.max(1, cpus / 4), benchRows)
-             else Map.empty[String, (Double, Long, Long)]
+    // 2. maintenance throughput at N cores, and at N/4 for scaling evidence.
+    // Measurement discipline for this sandbox (both effects measured):
+    //  - the first pipeline in a JVM pays C2 JIT compilation of the whole
+    //    Spark/parquet/zstd stack (2-4x) → one warmup pipeline first;
+    //  - the sandbox throttles dirty-page creation (bursts fast, sustained
+    //    ~6 MB/s, global) → whichever level runs later pays the drained
+    //    budget. Levels are interleaved SYMMETRICALLY (hi,lo,lo,hi) and
+    //    each level reports its per-stage minimum.
+    def minStages(a: Map[String, (Double, Long, Long)],
+        b: Map[String, (Double, Long, Long)]): Map[String, (Double, Long, Long)] =
+      a.map { case (k, v) => k -> (if (b.get(k).exists(_._1 < v._1)) b(k) else v) }
+    maintenance(cpus, math.max(benchRows / 10, 20000))
+    val loCpus = math.max(1, cpus / 4)
+    val (hi, lo) =
+      if (doScaling) {
+        val h1 = maintenance(cpus, benchRows)
+        val l1 = maintenance(loCpus, benchRows)
+        val l2 = maintenance(loCpus, benchRows)
+        val h2 = maintenance(cpus, benchRows)
+        (minStages(h1, h2), minStages(l1, l2))
+      } else (maintenance(cpus, benchRows), Map.empty[String, (Double, Long, Long)])
 
     def fmt(d: Double): String = f"$d%.4f"
     val qs = results.map { case (k, v) => s""""$k":${fmt(v)}""" }

@@ -36,6 +36,11 @@ object Maintain {
       .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]"))
       .appName("graft-maintain")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.hadoop.fs.file.impl", "org.apache.hadoop.fs.RawLocalFileSystem")
+      .config("spark.sql.files.maxPartitionBytes", (32L * 1024 * 1024).toString)
+      .config("spark.io.compression.codec", "zstd")
+      .config("spark.sql.parquet.compression.codec", "zstd")
+      .config("spark.hadoop.parquet.writer.version", "v2")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")

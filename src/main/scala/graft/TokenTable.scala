@@ -60,11 +60,19 @@ final class TokenTable(val log: SnapshotLog, spark: SparkSession) {
    */
   def append(df: DataFrame, targetFileCount: Int, nowMs: Long = 0L,
       operation: String = "append", extraSummary: Map[String, String] = Map.empty): Snapshot = {
-    val subdir = log.newDataSubdir()
-    val out = df
+    val distributed = df
       .repartitionByRange(targetFileCount, col("source"), col("doc_id"))
-      .withColumn("p_source", col("source"))
-    out.write.partitionBy("p_source").parquet(subdir.toString)
+    appendPrepared(distributed, nowMs, operation, extraSummary)
+  }
+
+  /** Append a frame that is ALREADY distributed the way it should land on
+    * disk (e.g. Synth.tableDistributed, which shuffles narrow and
+    * materializes token arrays post-exchange) — no extra shuffle here. */
+  def appendPrepared(df: DataFrame, nowMs: Long = 0L,
+      operation: String = "append", extraSummary: Map[String, String] = Map.empty): Snapshot = {
+    val subdir = log.newDataSubdir()
+    df.withColumn("p_source", col("source"))
+      .write.partitionBy("p_source").parquet(subdir.toString)
     commitAdd(subdir, nowMs, operation, extraSummary)
   }
 

@@ -39,8 +39,10 @@ object Synth {
       case ((label, cum), elseC) => when(u < cum, label).otherwise(elseC)
     }
 
-  /** `rows` TokenRow-shaped rows, deterministic in (seed, rows, tok range). */
-  def table(spark: SparkSession, rows: Long, seed: Long = 42L,
+  /** Narrow columns only (no token arrays) — cheap to generate and to
+    * shuffle. Keeps the row ordinal `id` so the arrays can be materialized
+    * later (post-exchange). */
+  def tableNarrow(spark: SparkSession, rows: Long, seed: Long = 42L,
       minTok: Int = 16, maxTok: Int = 2048): DataFrame = {
     val id = col("id")
     val lnMin = math.log(minTok.toDouble)
@@ -54,10 +56,38 @@ object Synth {
         floor(exp(lit(lnMin) +
           (pmod(xxhash64(id, lit(seed + 2)), lit(1000000)).cast("double") / 1e6) *
           lit(lnMax - lnMin))).cast("int"))
-      .withColumn("tokens",
-        transform(sequence(lit(0), col("n_tok") - 1),
-          j => pmod(xxhash64(id, j, lit(seed + 3)), lit(vocabSize)).cast("int")))
+  }
+
+  /** Materialize the token array from (id, n_tok) — native codegen'd
+    * expression, NOT a Catalyst HOF: `transform(sequence(...), ...)` runs
+    * its lambda interpreted per element (~10^8 boxed evals at 10^6 rows),
+    * which showed up as a GC collapse that scaled INVERSELY with threads.
+    * graft.functions.TokenGen fills a primitive int[] per row inside
+    * whole-stage codegen. */
+  def withTokens(df: DataFrame, seed: Long = 42L): DataFrame =
+    df.withColumn("tokens",
+      graft.functions.TokenGen.tokens(col("id"), col("n_tok"), seed + 3, vocabSize))
+
+  /** `rows` TokenRow-shaped rows, deterministic in (seed, rows, tok range). */
+  def table(spark: SparkSession, rows: Long, seed: Long = 42L,
+      minTok: Int = 16, maxTok: Int = 2048): DataFrame =
+    withTokens(tableNarrow(spark, rows, seed, minTok, maxTok), seed)
       .select("doc_id", "tokens", "n_tok", "source")
+
+  /**
+   * Generate + range-distribute into ~`files` write tasks, SCALE-SHAPED:
+   * the exchange carries only the narrow columns (doc_id, n_tok, source,
+   * id); token arrays are materialized AFTER the shuffle, inside the write
+   * stage. At 10^12 sequences the equivalent rule is "shuffle keys and
+   * pointers, materialize payloads post-exchange" — it shrinks exchange
+   * bytes by the payload factor (~100x here) and range-sampling never
+   * evaluates the arrays at all.
+   */
+  def tableDistributed(spark: SparkSession, rows: Long, seed: Long = 42L,
+      files: Int = 256, minTok: Int = 16, maxTok: Int = 2048): DataFrame = {
+    val narrow = tableNarrow(spark, rows, seed, minTok, maxTok)
+      .repartitionByRange(files, col("source"), col("doc_id"))
+    withTokens(narrow, seed).select("doc_id", "tokens", "n_tok", "source")
   }
 
   /**
@@ -72,20 +102,20 @@ object Synth {
   def changeSet(spark: SparkSession, baseRows: Long, seed: Long = 42L,
       updates: Long = 1000, inserts: Long = 500, deletes: Long = 200,
       minTok: Int = 16, maxTok: Int = 2048): DataFrame = {
-    // deterministic disjoint picks of existing ids: stride over the base range
-    val upd = table(spark, baseRows, seed, minTok, maxTok)
-      .withColumn("rk", pmod(xxhash64(col("doc_id"), lit(seed + 10)), lit(1000000)))
-      .orderBy("rk", "doc_id").limit(updates.toInt)
-      .select(col("doc_id"),
-        // regenerated payload with a different seed → differs in ≥1 element
-        transform(sequence(lit(0), col("n_tok") - 1),
-          j => pmod(xxhash64(col("doc_id"), j, lit(seed + 11)), lit(vocabSize)).cast("int"))
-          .as("tokens"),
-        col("n_tok"), col("source"), lit("upsert").as("_op"))
-    val del = table(spark, baseRows, seed, minTok, maxTok)
-      .withColumn("rk", pmod(xxhash64(col("doc_id"), lit(seed + 12)), lit(1000000)))
-      .orderBy(org.apache.spark.sql.functions.desc("rk"), col("doc_id"))
-      .limit(deletes.toInt)
+    // key selection runs on the NARROW frame (top-k never evaluates token
+    // arrays); payloads are materialized only for the selected rows
+    def narrow = tableNarrow(spark, baseRows, seed, minTok, maxTok)
+    val upd = withTokens(narrow
+        .withColumn("rk", pmod(xxhash64(col("doc_id"), lit(seed + 10)), lit(1000000)))
+        .orderBy("rk", "doc_id").limit(updates.toInt),
+        seed + 100) // different payload seed → differs from target in ≥1 element
+      .select(col("doc_id"), col("tokens"), col("n_tok"), col("source"),
+        lit("upsert").as("_op"))
+    val del = withTokens(narrow
+        .withColumn("rk", pmod(xxhash64(col("doc_id"), lit(seed + 12)), lit(1000000)))
+        .orderBy(org.apache.spark.sql.functions.desc("rk"), col("doc_id"))
+        .limit(deletes.toInt),
+        seed) // original payload
       .select(col("doc_id"), col("tokens"), col("n_tok"), col("source"),
         lit("delete").as("_op"))
     val ins = table(spark, inserts, seed + 13, minTok, maxTok)

@@ -135,12 +135,19 @@ object Merge {
           val bytes = touched.map(_.bytes).sum
           val nOut = math.max(1,
             math.ceil(bytes.toDouble / (128L * 1024 * 1024)).toInt)
-          merged
-            .repartitionByRange(math.max(nOut, spark.sparkContext.defaultParallelism),
-              col("source"), col("doc_id"))
-            .sortWithinPartitions(col("doc_id"))
-            .withColumn("p_source", col("source"))
-            .write.partitionBy("p_source").parquet(outDir.toString)
+          // cache the join output: the range exchange would otherwise run
+          // the full-outer SortMergeJoin twice (sampling + shuffle)
+          val cached = merged
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          try {
+            cached
+              .repartitionByRange(
+                math.max(nOut, spark.sparkContext.defaultParallelism),
+                col("source"), col("doc_id"))
+              .sortWithinPartitions(col("doc_id"))
+              .withColumn("p_source", col("source"))
+              .write.partitionBy("p_source").parquet(outDir.toString)
+          } finally cached.unpersist(false)
           lin.append(LineageRecord(passId, "merge", "all", "done",
             touched.size, Seq(table.log.relativize(outDir)),
             touched.map(_.rows).sum, bytes, 1))

@@ -227,13 +227,19 @@ object Rewrite {
           val paths = fs.map(f => table.log.absolute(f.path).toString)
           val out = table.log.newDataSubdir()
           val key = sortColumn(cfg.sortBy, dict).getOrElse(col("doc_id"))
-          spark.read.schema(TokenRow.schema).parquet(paths: _*)
+          // repartitionByRange executes its input TWICE (range-boundary
+          // sampling + the real exchange); cache across the two so the
+          // parquet decode of the token arrays happens once
+          val base = spark.read.schema(TokenRow.schema).parquet(paths: _*)
             .withColumn("__sk", key)
-            .repartitionByRange(nOut, col("__sk"))
-            .sortWithinPartitions(col("__sk"))
-            .drop("__sk")
-            .withColumn("p_source", col("source"))
-            .write.partitionBy("p_source").parquet(out.toString)
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          try {
+            base.repartitionByRange(nOut, col("__sk"))
+              .sortWithinPartitions(col("__sk"))
+              .drop("__sk")
+              .withColumn("p_source", col("source"))
+              .write.partitionBy("p_source").parquet(out.toString)
+          } finally base.unpersist(false)
           lin.append(LineageRecord(passId, op, p, "done", fs.size,
             Seq(table.log.relativize(out)), fs.map(_.rows).sum, bytes, 1))
           (p, fs, out)

@@ -98,6 +98,21 @@ object MaintQueries {
           "gc_manifests", "rows")
     }),
 
+    // multimodal pipeline: synth media -> metadata resize + frame-sample +
+    // stub-codec feature extraction (payload column pruned on metadata ops)
+    "m06_media_pipeline" -> ((s, _) => {
+      import s.implicits._
+      val m = graft.media.Media.synth(s, 2000, 42L)
+      val feats = graft.media.Media.extractFeatures(
+        m.as[graft.media.Media.MediaRow])
+      val frames = graft.media.Media.frameSamplePlan(m, everyMs = 10000)
+      feats.groupBy("kind")
+        .agg(count(lit(1)).as("n_media"), sum(col("n_bytes")).as("sum_bytes"))
+        .join(frames.groupBy("kind").agg(count(lit(1)).as("n_frames")),
+          Seq("kind"), "left")
+        .orderBy("kind")
+    }),
+
     // salted two-phase aggregation over the Zipf-hot source key
     "m05_salted_agg" -> ((s, _) => {
       val df = Synth.table(s, rows, 42L, 16, 512)
