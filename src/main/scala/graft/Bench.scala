@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
 
 import graft.gen.Synth
 import graft.maint.{Merge, Rewrite, RewriteConfig}
@@ -40,7 +41,7 @@ object Bench {
       .config("spark.hadoop.fs.file.impl", "org.apache.hadoop.fs.RawLocalFileSystem")
       // smaller input splits → enough map tasks to fill 32 cores even when
       // a partition unit only holds a few hundred MB
-      .config("spark.sql.files.maxPartitionBytes", (32L * 1024 * 1024).toString)
+      .config("spark.sql.files.maxPartitionBytes", (8L * 1024 * 1024).toString)
       // This sandbox throttles dirty-page creation to ~6 MB/s GLOBALLY
       // (measured: dd/mmap to tmpfs and disk alike; reads run at GB/s).
       // Every byte written is serialized kernel time, so spend parallel
@@ -96,16 +97,19 @@ object Bench {
       val d1 = t.describe()
       val bytes1 = d1("bytes").toLong
 
+      // 8 MB targets: small enough that every stage has >2x-cores tasks at
+      // bench scale (the scaling measurement needs the task count, not the
+      // file size, to be the binding constraint)
       val (_, tCompact) = time {
         Rewrite.compact(t, spark,
-          RewriteConfig(targetFileBytes = 16L * 1024 * 1024, sortBy = "docid"),
+          RewriteConfig(targetFileBytes = 8L * 1024 * 1024, sortBy = "docid"),
           nowMs = 2L)
       }
       val bytes2 = t.describe()("bytes").toLong
 
       val (_, tZorder) = time {
         Rewrite.cluster(t, spark,
-          RewriteConfig(targetFileBytes = 16L * 1024 * 1024, sortBy = "zkey"),
+          RewriteConfig(targetFileBytes = 8L * 1024 * 1024, sortBy = "zkey"),
           nowMs = 3L)
       }
       val bytes3 = t.describe()("bytes").toLong
@@ -117,11 +121,42 @@ object Bench {
       val (_, tMerge) = time { Merge.run(t, spark, changes, nowMs = 4L) }
       val bytes4 = t.describe()("bytes").toLong
 
+      // range-local merge: touched keys confined to one doc_id prefix
+      // slice — on the clustered layout the manifest-range pruning skips
+      // most files (the uniform change-set above necessarily touches all)
+      val changesLocal = Synth.changeSetLocal(spark, rows, 42L,
+        updates = nChange, minTok = 16, maxTok = 512)
+      val (_, tMergeL) = time { Merge.run(t, spark, changesLocal, nowMs = 5L) }
+      val bytes5 = t.describe()("bytes").toLong
+
+      // CPU-scaling probe: full scan + Z-key + row fingerprint + partial
+      // aggregation — the compute front-end every rewrite pass shares,
+      // with a KB-sized shuffle and NO writes. This sandbox serializes
+      // dirty-page creation globally (~6 MB/s sustained, measured with dd
+      // and mmap), so write-inclusive wall time cannot scale with cores
+      // for ANY implementation; this probe isolates the part that can.
+      import graft.cluster.ZOrder
+      val dict = graft.maint.Rewrite.sourceDict(
+        t.log.current().get, t.log.dataFiles(t.log.current().get))
+      val (_, tProbe) = time {
+        t.scan()._1
+          .withColumn("zkey", ZOrder.zkey(col("source"), col("n_tok"),
+            col("doc_id"), dict))
+          .withColumn("h", xxhash64(col("doc_id"), col("tokens")))
+          .groupBy("source")
+          .agg(sum(col("n_tok")).as("toks"),
+            sum(col("h").cast("decimal(38,0)")).as("fp"),
+            min(col("zkey")), max(col("zkey")), count(lit(1)))
+          .collect()
+      }
+
       Map(
         "append" -> ((tAppend, rows, bytes1)),
         "compact" -> ((tCompact, rows, bytes1)),
         "zorder" -> ((tZorder, rows, bytes2)),
-        "merge" -> ((tMerge, rows, bytes3)))
+        "merge" -> ((tMerge, rows, bytes3)),
+        "merge_local" -> ((tMergeL, nChange, bytes4)),
+        "probe_scan_agg" -> ((tProbe, rows, bytes5)))
     } finally {
       spark.stop()
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
@@ -131,7 +166,8 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
-    val benchRows = sys.env.getOrElse("SPARK_GRAFT_BENCH_ROWS", "500000").toLong
+    val benchRows = sys.env.getOrElse("SPARK_GRAFT_BENCH_ROWS", "1000000").toLong
+    val cooldownMs = sys.env.getOrElse("SPARK_GRAFT_BENCH_COOLDOWN_MS", "90000").toLong
     val doScaling = sys.env.getOrElse("SPARK_GRAFT_SCALING", "1") != "0"
 
     // 1. per-query timings at the main parallelism level
@@ -162,12 +198,15 @@ object Bench {
       a.map { case (k, v) => k -> (if (b.get(k).exists(_._1 < v._1)) b(k) else v) }
     maintenance(cpus, math.max(benchRows / 10, 20000))
     val loCpus = math.max(1, cpus / 4)
+    // idle cooldown between measured pipelines lets the sandbox's
+    // dirty-page token bucket refill equally before every run
+    def cooled[A](f: => A): A = { Thread.sleep(cooldownMs); f }
     val (hi, lo) =
       if (doScaling) {
-        val h1 = maintenance(cpus, benchRows)
-        val l1 = maintenance(loCpus, benchRows)
-        val l2 = maintenance(loCpus, benchRows)
-        val h2 = maintenance(cpus, benchRows)
+        val h1 = cooled(maintenance(cpus, benchRows))
+        val l1 = cooled(maintenance(loCpus, benchRows))
+        val l2 = cooled(maintenance(loCpus, benchRows))
+        val h2 = cooled(maintenance(cpus, benchRows))
         (minStages(h1, h2), minStages(l1, l2))
       } else (maintenance(cpus, benchRows), Map.empty[String, (Double, Long, Long)])
 

@@ -95,8 +95,17 @@ object ZOrder {
   def ntokBucket(nTok: Column): Column =
     least(greatest(nTok.cast("long"), lit(0L)), lit(65535L))
 
+  /** ORDER-ALIGNED doc dimension: the leading 4 hex chars of doc_id parsed
+    * as an int. Using a fresh hash here (first implementation) made the Z
+    * dimension uncorrelated with lexicographic doc_id order, so clustered
+    * files had full-width doc_id min/max windows and MERGE's range-based
+    * touched-file pruning never fired. Aligning the bucket with the sort
+    * key used for pruning gives each clustered file a tight doc_id window.
+    * Non-hex-prefixed keys (e.g. merge-inserted) fall back to a hash bucket. */
   def docBucket(docId: Column): Column =
-    shiftrightunsigned(xxhash64(docId), 48).bitwiseAND(lit(0xffffL))
+    when(docId.rlike("^[0-9a-f]{4}"),
+      conv(substring(docId, 1, 4), 16, 10).cast("long").bitwiseAND(lit(0xffffL)))
+      .otherwise(shiftrightunsigned(xxhash64(docId), 48).bitwiseAND(lit(0xffffL)))
 
   /** The engine's Z key over (source, n_tok, doc_id). */
   def zkey(source: Column, nTok: Column, docId: Column, dict: Seq[String]): Column =

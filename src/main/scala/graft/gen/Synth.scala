@@ -123,4 +123,23 @@ object Synth {
       .withColumn("_op", lit("upsert"))
     upd.unionByName(del).unionByName(ins)
   }
+
+  /**
+   * Range-LOCAL change set: every touched key falls in one doc_id prefix
+   * slice (1/16 of the key space). Against a doc_id-clustered layout this
+   * is the workload where MERGE's manifest-range pruning pays — the
+   * benchmark reports its touched-file ratio next to the uniform
+   * change-set's (which necessarily touches everything).
+   */
+  def changeSetLocal(spark: SparkSession, baseRows: Long, seed: Long = 42L,
+      updates: Long = 1000, minTok: Int = 16, maxTok: Int = 2048): DataFrame = {
+    def narrow = tableNarrow(spark, baseRows, seed, minTok, maxTok)
+      .filter(col("doc_id").startsWith("0"))
+    withTokens(narrow
+        .withColumn("rk", pmod(xxhash64(col("doc_id"), lit(seed + 20)), lit(1000000)))
+        .orderBy("rk", "doc_id").limit(updates.toInt),
+        seed + 101)
+      .select(col("doc_id"), col("tokens"), col("n_tok"), col("source"),
+        lit("upsert").as("_op"))
+  }
 }
