@@ -26,7 +26,12 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  // local[32] in one JVM: task memory + parquet writer buffers + shuffle
-  // scale with thread count — size the heap for the 32-thread level
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
+  // SMALL heap on purpose. This sandbox throttles dirty-page creation
+  // globally (sustained ~6 MB/s); with a large -Xmx, G1 grows the heap
+  // instead of collecting, so every young-gen cycle touches NEW pages and
+  // the 32-thread level collapses into page-throttle + GC death (measured:
+  // the no-write scan probe ran 25-165 s at -Xmx48g vs a stable 2.5 s at
+  // -Xmx8g). A capped heap forces page reuse, which is also the right
+  // shape per-executor on a real cluster.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )

@@ -13,11 +13,30 @@ import graft.maint.{Merge, Rewrite, RewriteConfig}
  * and N-vs-4N scaling efficiency evidenced at two local parallelism levels
  * (the sandbox stand-in for two cluster sizes).
  *
+ * Measurement discipline for this sandbox (all three effects measured):
+ *  - the first pipeline in a JVM pays C2 JIT compilation of the whole
+ *    Spark/parquet/zstd stack (2-4x) → one warmup pipeline first;
+ *  - the sandbox throttles DIRTY-PAGE CREATION globally (sustained
+ *    ~6 MB/s; bursts are fast) → a large JVM heap is fatal: G1 grows the
+ *    heap instead of collecting and every young-gen cycle touches new
+ *    pages (round 1 ran with -Xmx48g and inverse-scaled at 32 threads;
+ *    build.sbt now pins 8g so pages are reused);
+ *  - whichever level runs later pays any drained page budget → levels are
+ *    interleaved SYMMETRICALLY (hi,lo,lo,hi) and each level reports its
+ *    per-stage minimum.
+ * Stage INPUTS are identical at both levels by construction: the
+ * generator, FFD bins, cluster boundaries (driver-side, from a
+ * hash-filtered sample) and merge bins (driver-side, from manifest stats)
+ * are all pure functions of the data, never of the core count.
+ *
  * Env knobs: SPARK_GRAFT_SF_DIR (query input), SPARK_GRAFT_CPUS (main
  * level, default 32), SPARK_GRAFT_BENCH_ROWS (maintenance table size,
- * default 200k), SPARK_GRAFT_SCALING=0 to skip the second (N/4) run.
+ * default 1M), SPARK_GRAFT_SCALING=0 to skip the second (N/4) run.
  */
 object Bench {
+
+  final case class StageStat(sec: Double, rows: Long, bytes: Long,
+      extra: Map[String, String] = Map.empty)
 
   private def session(cpus: Int): SparkSession = {
     // Shuffle/spill on tmpfs when available: the scaling comparison is
@@ -42,13 +61,11 @@ object Bench {
       // smaller input splits → enough map tasks to fill 32 cores even when
       // a partition unit only holds a few hundred MB
       .config("spark.sql.files.maxPartitionBytes", (8L * 1024 * 1024).toString)
-      // This sandbox throttles dirty-page creation to ~6 MB/s GLOBALLY
-      // (measured: dd/mmap to tmpfs and disk alike; reads run at GB/s).
-      // Every byte written is serialized kernel time, so spend parallel
-      // CPU to shrink bytes: zstd entropy-codes the ~15.6-bit random token
-      // ints (lz4/snappy are match-based and get ~0% there) and parquet v2
-      // delta-bit-packs the int arrays. On a real cluster these are still
-      // sound defaults — shuffle/storage bytes are the scarce resource.
+      // spend parallel CPU to shrink bytes: zstd entropy-codes the
+      // ~15.6-bit random token ints (lz4/snappy are match-based and get
+      // ~0% there) and parquet v2 delta-bit-packs the int arrays. Sound
+      // defaults on a real cluster too — shuffle/storage bytes are the
+      // scarce resource.
       .config("spark.io.compression.codec", "zstd")
       .config("spark.sql.parquet.compression.codec", "zstd")
       .config("spark.hadoop.parquet.writer.version", "v2")
@@ -57,7 +74,6 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.execution.rangeExchange.sampleSizePerPartition", "400")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
@@ -80,37 +96,30 @@ object Bench {
     java.nio.file.Files.createTempDirectory(base, s"graft-bench-$cpus").toString
   }
 
-  /** One full maintenance pipeline at a given parallelism; returns
-    * stage -> (seconds, rowsProcessed, bytesProcessed). */
-  private def maintenance(cpus: Int, rows: Long)
-      : Map[String, (Double, Long, Long)] = {
+  /** One full maintenance pipeline at a given parallelism. */
+  private def maintenance(cpus: Int, rows: Long): Map[String, StageStat] = {
     val spark = session(cpus)
     val root = benchRoot(cpus)
+    val target = 8L * 1024 * 1024 // small targets: >2x-cores tasks per stage
     try {
       val t = TokenTable.create(root, spark, 1L)
       // shorter sequences than the correctness fixture: the write-throttled
-      // sandbox (~6 MB/s dirty-page budget) makes bytes-written the scarce
-      // resource, and per-sequence size does not change the plan shape
+      // sandbox makes bytes-written the scarce resource, and per-sequence
+      // size does not change the plan shape
       val df = Synth.tableDistributed(spark, rows, 42L,
         files = math.max(256, cpus * 8), minTok = 16, maxTok = 512)
       val (_, tAppend) = time { t.appendPrepared(df, nowMs = 1L) }
-      val d1 = t.describe()
-      val bytes1 = d1("bytes").toLong
+      val bytes1 = t.describe()("bytes").toLong
 
-      // 8 MB targets: small enough that every stage has >2x-cores tasks at
-      // bench scale (the scaling measurement needs the task count, not the
-      // file size, to be the binding constraint)
       val (_, tCompact) = time {
         Rewrite.compact(t, spark,
-          RewriteConfig(targetFileBytes = 8L * 1024 * 1024, sortBy = "docid"),
-          nowMs = 2L)
+          RewriteConfig(targetFileBytes = target, sortBy = "docid"), nowMs = 2L)
       }
       val bytes2 = t.describe()("bytes").toLong
 
       val (_, tZorder) = time {
         Rewrite.cluster(t, spark,
-          RewriteConfig(targetFileBytes = 8L * 1024 * 1024, sortBy = "zkey"),
-          nowMs = 3L)
+          RewriteConfig(targetFileBytes = target, sortBy = "zkey"), nowMs = 3L)
       }
       val bytes3 = t.describe()("bytes").toLong
 
@@ -118,7 +127,10 @@ object Bench {
       val changes = Synth.changeSet(spark, rows, 42L,
         updates = nChange, inserts = nChange / 2, deletes = nChange / 4,
         minTok = 16, maxTok = 512)
-      val (_, tMerge) = time { Merge.run(t, spark, changes, nowMs = 4L) }
+      val (_, tMerge) = time {
+        Merge.run(t, spark, changes, nowMs = 4L, targetFileBytes = target)
+      }
+      val ratioMerge = t.log.current().get.summary.getOrElse("touched-ratio", "?")
       val bytes4 = t.describe()("bytes").toLong
 
       // range-local merge: touched keys confined to one doc_id prefix
@@ -126,17 +138,18 @@ object Bench {
       // most files (the uniform change-set above necessarily touches all)
       val changesLocal = Synth.changeSetLocal(spark, rows, 42L,
         updates = nChange, minTok = 16, maxTok = 512)
-      val (_, tMergeL) = time { Merge.run(t, spark, changesLocal, nowMs = 5L) }
+      val (_, tMergeL) = time {
+        Merge.run(t, spark, changesLocal, nowMs = 5L, targetFileBytes = target)
+      }
+      val ratioLocal = t.log.current().get.summary.getOrElse("touched-ratio", "?")
       val bytes5 = t.describe()("bytes").toLong
 
       // CPU-scaling probe: full scan + Z-key + row fingerprint + partial
       // aggregation — the compute front-end every rewrite pass shares,
-      // with a KB-sized shuffle and NO writes. This sandbox serializes
-      // dirty-page creation globally (~6 MB/s sustained, measured with dd
-      // and mmap), so write-inclusive wall time cannot scale with cores
-      // for ANY implementation; this probe isolates the part that can.
+      // with a KB-sized shuffle and NO writes; isolates compute scaling
+      // from the sandbox's global write throttle.
       import graft.cluster.ZOrder
-      val dict = graft.maint.Rewrite.sourceDict(
+      val dict = Rewrite.sourceDict(
         t.log.current().get, t.log.dataFiles(t.log.current().get))
       val (_, tProbe) = time {
         t.scan()._1
@@ -151,12 +164,14 @@ object Bench {
       }
 
       Map(
-        "append" -> ((tAppend, rows, bytes1)),
-        "compact" -> ((tCompact, rows, bytes1)),
-        "zorder" -> ((tZorder, rows, bytes2)),
-        "merge" -> ((tMerge, rows, bytes3)),
-        "merge_local" -> ((tMergeL, nChange, bytes4)),
-        "probe_scan_agg" -> ((tProbe, rows, bytes5)))
+        "append" -> StageStat(tAppend, rows, bytes1),
+        "compact" -> StageStat(tCompact, rows, bytes1),
+        "zorder" -> StageStat(tZorder, rows, bytes2),
+        "merge" -> StageStat(tMerge, rows, bytes3,
+          Map("touched_ratio" -> ratioMerge)),
+        "merge_local" -> StageStat(tMergeL, nChange, bytes4,
+          Map("touched_ratio" -> ratioLocal)),
+        "probe_scan_agg" -> StageStat(tProbe, rows, bytes5))
     } finally {
       spark.stop()
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
@@ -167,10 +182,12 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val benchRows = sys.env.getOrElse("SPARK_GRAFT_BENCH_ROWS", "1000000").toLong
-    val cooldownMs = sys.env.getOrElse("SPARK_GRAFT_BENCH_COOLDOWN_MS", "90000").toLong
+    val cooldownMs = sys.env.getOrElse("SPARK_GRAFT_BENCH_COOLDOWN_MS", "45000").toLong
     val doScaling = sys.env.getOrElse("SPARK_GRAFT_SCALING", "1") != "0"
 
-    // 1. per-query timings at the main parallelism level
+    // 1. per-query timings at the main parallelism level. Failures are
+    // REPORTED (error string per query), never swallowed into a timing.
+    var queryErrors = Map.empty[String, String]
     val results =
       if (sys.env.get("SPARK_GRAFT_SKIP_QUERIES").contains("1"))
         Seq.empty[(String, Double)]
@@ -178,28 +195,23 @@ object Bench {
         val spark = session(cpus)
         val rs = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
           val t0 = System.nanoTime()
-          try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+          try { fn(spark, sfDir).count() }
+          catch { case e: Throwable =>
+            queryErrors += name -> e.toString.linesIterator.next().take(200)
+          }
           name -> (System.nanoTime() - t0) / 1e9
         }
         spark.stop()
         rs
       }
 
-    // 2. maintenance throughput at N cores, and at N/4 for scaling evidence.
-    // Measurement discipline for this sandbox (both effects measured):
-    //  - the first pipeline in a JVM pays C2 JIT compilation of the whole
-    //    Spark/parquet/zstd stack (2-4x) → one warmup pipeline first;
-    //  - the sandbox throttles dirty-page creation (bursts fast, sustained
-    //    ~6 MB/s, global) → whichever level runs later pays the drained
-    //    budget. Levels are interleaved SYMMETRICALLY (hi,lo,lo,hi) and
-    //    each level reports its per-stage minimum.
-    def minStages(a: Map[String, (Double, Long, Long)],
-        b: Map[String, (Double, Long, Long)]): Map[String, (Double, Long, Long)] =
-      a.map { case (k, v) => k -> (if (b.get(k).exists(_._1 < v._1)) b(k) else v) }
-    maintenance(cpus, math.max(benchRows / 10, 20000))
+    // 2. maintenance throughput at N cores, and at N/4 for scaling
+    // evidence, symmetrically interleaved with cooldowns (see header).
+    def minStages(a: Map[String, StageStat],
+        b: Map[String, StageStat]): Map[String, StageStat] =
+      a.map { case (k, v) => k -> (if (b.get(k).exists(_.sec < v.sec)) b(k) else v) }
+    maintenance(cpus, math.max(benchRows / 10, 20000)) // JIT warmup
     val loCpus = math.max(1, cpus / 4)
-    // idle cooldown between measured pipelines lets the sandbox's
-    // dirty-page token bucket refill equally before every run
     def cooled[A](f: => A): A = { Thread.sleep(cooldownMs); f }
     val (hi, lo) =
       if (doScaling) {
@@ -208,24 +220,27 @@ object Bench {
         val l2 = cooled(maintenance(loCpus, benchRows))
         val h2 = cooled(maintenance(cpus, benchRows))
         (minStages(h1, h2), minStages(l1, l2))
-      } else (maintenance(cpus, benchRows), Map.empty[String, (Double, Long, Long)])
+      } else (maintenance(cpus, benchRows), Map.empty[String, StageStat])
 
     def fmt(d: Double): String = f"$d%.4f"
     val qs = results.map { case (k, v) => s""""$k":${fmt(v)}""" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
+    val errJson = queryErrors.toSeq.sortBy(_._1)
+      .map { case (k, v) => s""""$k":"${v.replace("\\", "\\\\").replace("\"", "\\\"")}"""" }
+      .mkString("{", ",", "}")
 
-    val maintJson = hi.toSeq.sortBy(_._1).map { case (st, (sec, r, b)) =>
-      val eff = lo.get(st).map { case (secLo, _, _) =>
-        // efficiency = (T_lo * N_lo) / (T_hi * N_hi): 1.0 = linear scaling
-        (secLo * (cpus / 4)) / (sec * cpus)
-      }
-      s""""$st":{"sec":${fmt(sec)},"seq_per_s":${fmt(r / sec)},"gb_per_s":${fmt(b / sec / 1e9)}""" +
-        lo.get(st).map { case (secLo, _, _) =>
-          s""","sec_n4":${fmt(secLo)},"scaling_eff":${fmt(eff.get)}""" }.getOrElse("") +
-        "}"
+    val maintJson = hi.toSeq.sortBy(_._1).map { case (st, s) =>
+      val extras = s.extra.toSeq.sortBy(_._1)
+        .map { case (k, v) => s""","$k":"$v"""" }.mkString
+      s""""$st":{"sec":${fmt(s.sec)},"seq_per_s":${fmt(s.rows / s.sec)},"gb_per_s":${fmt(s.bytes / s.sec / 1e9)}$extras""" +
+        lo.get(st).map { l =>
+          // efficiency = (T_lo * N_lo) / (T_hi * N_hi): 1.0 = linear scaling
+          val eff = (l.sec * loCpus) / (s.sec * cpus)
+          s""","sec_n4":${fmt(l.sec)},"scaling_eff":${fmt(eff)}"""
+        }.getOrElse("") + "}"
     }.mkString("{", ",", "}")
 
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","bench_rows":$benchRows,"cpus":$cpus,"maintenance":$maintJson}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"query_errors":$errJson,"sf":"$sfDir","bench_rows":$benchRows,"cpus":$cpus,"lo_cpus":$loCpus,"maintenance":$maintJson}""")
   }
 }

@@ -105,6 +105,20 @@ final class TokenTable(val log: SnapshotLog, spark: SparkSession) {
     val addedRef = if (added.nonEmpty) Some(log.writeManifest(added)) else None
     log.commit() { base =>
       val prev = base.getOrElse(sys.error(s"no table at $root"))
+      // Write-write conflict validation (the same check Delta/Iceberg run):
+      // every input file this pass rewrote must still be live in the base
+      // we are committing against. If a concurrent rewrite/merge already
+      // removed any of them, re-applying our staged output would duplicate
+      // those rows (or resurrect merge-deleted ones) — abort; the caller
+      // re-plans against the new snapshot.
+      val live = prev.manifestList.iterator
+        .flatMap(m => log.readManifest(m).entries.iterator.map(_.path)).toSet
+      val gone = removedPaths.diff(live)
+      if (gone.nonEmpty)
+        throw new graft.meta.CommitConflictException(
+          s"$operation lost a concurrent-rewrite race: ${gone.size} input " +
+          s"file(s) no longer live in v${prev.version} (e.g. ${gone.head}); " +
+          "rerun the pass against the new snapshot")
       val newList = prev.manifestList.flatMap { mref =>
         val mf = log.readManifest(mref)
         val paths = mf.entries.map(_.path).toSet
@@ -131,9 +145,9 @@ final class TokenTable(val log: SnapshotLog, spark: SparkSession) {
 
   /** Footer-stat every parquet file under dir (recursive) → manifest entries. */
   def collectEntries(subdir: Path): Seq[DataFile] = {
-    val files = Files.walk(subdir).iterator().asScala
+    val files = SnapshotLog.walk(subdir)
       .filter(p => p.toString.endsWith(".parquet") && Files.isRegularFile(p))
-      .toSeq.sortBy(_.toString)
+      .sortBy(_.toString)
     val conf = spark.sessionState.newHadoopConf()
     ParquetStats.batch(files.map(_.toString), conf).map { case (p, (rows, bytes, stats)) =>
       val pp = Paths.get(p)

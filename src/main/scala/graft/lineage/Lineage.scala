@@ -62,8 +62,12 @@ final class LineageLog(root: String) {
       .groupBy(_.unit).map { case (u, rs) => u -> rs.maxBy(_.attempt) }
 
   def passes(): Seq[String] =
-    if (!Files.isDirectory(dir)) Seq.empty
-    else Files.list(dir).iterator().asScala
-      .map(_.getFileName.toString).filter(_.endsWith(".jsonl"))
-      .map(_.stripSuffix(".jsonl")).toSeq.sorted
+    graft.meta.SnapshotLog.listNames(dir).filter(_.endsWith(".jsonl"))
+      .map(_.stripSuffix(".jsonl")).sorted
+
+  /** Root-relative staged output dirs of every in-flight pass — referenced
+    * by lineage but possibly not yet committed; the orphan sweep must not
+    * delete them. */
+  def stagedDirs(): Set[String] =
+    passes().flatMap(records).flatMap(_.filesOut).toSet
 }

@@ -1,10 +1,10 @@
 package graft.maint
 
-import java.nio.file.{Files, Paths}
-import scala.jdk.CollectionConverters._
+import java.nio.file.{Files, Path, Paths}
 
 import graft.TokenTable
-import graft.meta.{ManifestRef, Snapshot}
+import graft.lineage.LineageLog
+import graft.meta.{ManifestRef, Snapshot, SnapshotLog}
 
 /**
  * Snapshot retention + reachability GC, and manifest-list rewrite.
@@ -58,17 +58,61 @@ object Expire {
       Files.deleteIfExists(Paths.get(log.root, "meta", f"v$v%08d.json"))
     }
     // sweep now-empty data subdirs (cosmetic)
-    if (Files.isDirectory(log.dataDir)) {
-      Files.list(log.dataDir).iterator().asScala.foreach { d =>
-        if (Files.isDirectory(d)) {
-          Files.walk(d).iterator().asScala.toSeq.reverse
-            .filter(Files.isDirectory(_))
-            .foreach(dir => if (!Files.list(dir).iterator().hasNext)
-              Files.deleteIfExists(dir))
-        }
-      }
+    SnapshotLog.list(log.dataDir).filter(Files.isDirectory(_)).foreach { d =>
+      SnapshotLog.walk(d).reverse.filter(Files.isDirectory(_))
+        .foreach(dir => if (SnapshotLog.list(dir).isEmpty)
+          Files.deleteIfExists(dir))
     }
     Report(expired, deadData, deadManifests)
+  }
+
+  final case class OrphanReport(
+      dataFiles: Seq[String], manifests: Seq[String], tmpSnapshots: Seq[String])
+
+  /**
+   * Orphan sweep: delete files unreachable from EVERY snapshot (expire only
+   * collects expired-snapshot reachability; three orphan classes otherwise
+   * accumulate forever — manifests written on a lost commit race, staged
+   * lineage output of abandoned passes, and leftover .tmp-*.json snapshot
+   * files). A file is deleted only if it is (a) unreachable from every
+   * current snapshot, (b) not named by any in-flight lineage pass, and
+   * (c) older than `graceMs` (so a concurrent pass's just-staged-but-not-
+   * yet-logged files are never collected).
+   */
+  def sweepOrphans(table: TokenTable, graceMs: Long = 24L * 3600 * 1000,
+      nowMs: Long = System.currentTimeMillis()): OrphanReport = {
+    val log = table.log
+    val snaps = log.versions().map(log.snapshot)
+    val liveManifests = snaps.flatMap(_.manifestList.map(_.path)).toSet
+    val liveData = snaps
+      .flatMap(s => s.manifestList.flatMap(m => log.readManifest(m).entries))
+      .map(_.path).toSet
+    // staged output dirs of passes whose lineage says 'done' but which have
+    // not been committed yet (or never will be) — protected, not orphans:
+    // a resumed pass will reuse them, and expire of stale passes is the
+    // operator's explicit call (the pass id pins the base version).
+    val staged = new LineageLog(log.root).stagedDirs()
+    val cutoff = nowMs - graceMs
+    def old(p: Path): Boolean =
+      Files.exists(p) && Files.getLastModifiedTime(p).toMillis <= cutoff
+
+    val deadData = SnapshotLog.walk(log.dataDir)
+      .filter(p => p.toString.endsWith(".parquet") && Files.isRegularFile(p))
+      .map(log.relativize)
+      .filter(rel => !liveData(rel) && !staged.exists(rel.startsWith) &&
+        old(log.absolute(rel)))
+    val deadManifests = SnapshotLog
+      .list(Paths.get(log.root, "meta", "manifests"))
+      .map(log.relativize)
+      .filter(rel => !liveManifests(rel) && old(log.absolute(rel)))
+    val tmps = SnapshotLog.list(Paths.get(log.root, "meta"))
+      .filter(p => p.getFileName.toString.startsWith(".tmp-") && old(p))
+      .map(log.relativize)
+
+    deadData.foreach(p => Files.deleteIfExists(log.absolute(p)))
+    deadManifests.foreach(p => Files.deleteIfExists(log.absolute(p)))
+    tmps.foreach(p => Files.deleteIfExists(log.absolute(p)))
+    OrphanReport(deadData, deadManifests, tmps)
   }
 
   /**

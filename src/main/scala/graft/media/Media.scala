@@ -65,15 +65,23 @@ object Media {
   }
 
   /** Metadata-only resize plan: recompute target dims to fit a bounding box,
-    * preserving aspect ratio — pure Column math, payload never read. */
+    * preserving aspect ratio — pure INTEGER Column math (exact, so an
+    * external SQL oracle replays it bit-identically; no float rounding),
+    * payload never read. */
   def resizePlan(df: DataFrame, maxW: Int, maxH: Int): DataFrame = {
-    val w = col("meta.width").cast("double")
-    val h = col("meta.height").cast("double")
-    val scale = least(lit(maxW) / w, lit(maxH) / h, lit(1.0))
+    val w = col("meta.width").cast("long")
+    val h = col("meta.height").cast("long")
+    // fits → unchanged; else the binding side pins to the box and the other
+    // scales by the exact rational floor(x * bound / binding)
+    val dstW = when(w <= maxW && h <= maxH, w)
+      .when(w * maxH <= h * maxW, floor(w * lit(maxH.toLong) / h)) // height binds
+      .otherwise(lit(maxW.toLong))
+    val dstH = when(w <= maxW && h <= maxH, h)
+      .when(w * maxH <= h * maxW, lit(maxH.toLong))
+      .otherwise(floor(h * lit(maxW.toLong) / w)) // width binds
     df.select(col("media_id"), col("kind"),
       col("meta.width").as("src_w"), col("meta.height").as("src_h"),
-      floor(w * scale).cast("int").as("dst_w"),
-      floor(h * scale).cast("int").as("dst_h"))
+      dstW.cast("int").as("dst_w"), dstH.cast("int").as("dst_h"))
   }
 
   /** Frame-sample plan for video/audio: one row per sampled timestamp —

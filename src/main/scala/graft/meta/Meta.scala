@@ -73,6 +73,12 @@ final case class ManifestRef(
     rows: Long,
     bytes: Long)
 
+/** Thrown when a rewrite commit loses an optimistic race to a concurrent
+  * pass that already removed (and rewrote) one of its input files. The
+  * loser must NOT blindly re-apply: its staged output duplicates rows the
+  * winner already rewrote. Callers re-plan against the new snapshot. */
+final class CommitConflictException(msg: String) extends RuntimeException(msg)
+
 final case class Snapshot(
     version: Long,
     parentVersion: Long, // -1 for the first
@@ -103,14 +109,11 @@ final class SnapshotLog(val root: String) {
 
   /** All committed versions, ascending. Source of truth is the directory
     * listing (a version exists iff its file was atomically published). */
-  def versions(): Seq[Long] = {
-    if (!Files.isDirectory(metaDir)) return Seq.empty
-    Files.list(metaDir).iterator().asScala
-      .map(_.getFileName.toString)
+  def versions(): Seq[Long] =
+    SnapshotLog.listNames(metaDir)
       .collect { case s if s.startsWith("v") && s.endsWith(".json") =>
         s.stripPrefix("v").stripSuffix(".json").toLong }
-      .toSeq.sorted
-  }
+      .sorted
 
   def currentVersion(): Option[Long] = versions().lastOption
 
@@ -185,4 +188,29 @@ final class SnapshotLog(val root: String) {
   def relativize(p: Path): String = Paths.get(root).relativize(p).toString
 
   def absolute(rel: String): Path = Paths.get(root).resolve(rel)
+}
+
+object SnapshotLog {
+  /** Closed directory listing (Files.list leaks an fd if the stream is not
+    * closed; versions() runs on every commit attempt and scan). */
+  def listNames(dir: Path): Seq[String] = {
+    if (!Files.isDirectory(dir)) return Seq.empty
+    val s = Files.list(dir)
+    try s.iterator().asScala.map(_.getFileName.toString).toSeq
+    finally s.close()
+  }
+
+  /** Closed recursive walk. */
+  def walk(dir: Path): Seq[Path] = {
+    if (!Files.exists(dir)) return Seq.empty
+    val s = Files.walk(dir)
+    try s.iterator().asScala.toSeq finally s.close()
+  }
+
+  /** Closed non-recursive listing of paths. */
+  def list(dir: Path): Seq[Path] = {
+    if (!Files.isDirectory(dir)) return Seq.empty
+    val s = Files.list(dir)
+    try s.iterator().asScala.toSeq finally s.close()
+  }
 }

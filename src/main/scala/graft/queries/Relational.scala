@@ -241,6 +241,36 @@ object Relational {
         .orderBy("event_type")
     }),
 
+    // P6: SQL-string predicate through Dataset.where (the reference filters
+    // with raw SQL strings, dq_runner.py:19, show_table.py:13-15)
+    "q21_where_string" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .where("l_returnflag = 'R' AND l_quantity > 45")
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double")
+            .as("sum_qty"))
+    }),
+
+    // F9: signed "±H:MM:SS" offset parse via split + arithmetic (the
+    // reference's gmt_offset_to_seconds, utils.py:74-85) — offsets are
+    // synthesized deterministically from supplier keys, then parsed back
+    "q22_gmt_offset" -> ((s, dir) => {
+      val off = concat(
+        when(pmod(col("s_suppkey"), lit(2)) === 0, "-").otherwise(""),
+        pmod(col("s_suppkey"), lit(13)).cast("string"), lit(":30:00"))
+      val parts = split(regexp_replace(col("off"), "^-", ""), ":")
+      val secs = (element_at(parts, 1).cast("long") * 3600 +
+        element_at(parts, 2).cast("long") * 60 +
+        element_at(parts, 3).cast("long")) *
+        when(col("off").startsWith("-"), -1L).otherwise(1L)
+      t(s, dir, "supplier")
+        .withColumn("off", off)
+        .withColumn("off_s", secs)
+        .groupBy("off")
+        .agg(count(lit(1)).as("n"), min(col("off_s")).as("offset_seconds"))
+        .orderBy("off")
+    }),
+
     // F12: higher-order array functions (utils.py:100-103 transform pattern)
     "q18_array_hof" -> ((s, dir) => {
       t(s, dir, "documents")
@@ -375,5 +405,20 @@ object Relational {
         |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
         |  CAST(list_aggregate(list_transform(string_split(text, ' '), w -> length(w)), 'max') AS BIGINT) AS longest_word,
         |  CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct
-        |FROM documents ORDER BY doc_id""".stripMargin)
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q21_where_string" ->
+      """SELECT count(*) AS n,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem WHERE l_returnflag = 'R' AND l_quantity > 45""".stripMargin,
+    "q22_gmt_offset" ->
+      """WITH o AS (
+        |  SELECT (CASE WHEN s_suppkey % 2 = 0 THEN '-' ELSE '' END ||
+        |    CAST(s_suppkey % 13 AS VARCHAR) || ':30:00') AS off
+        |  FROM supplier),
+        |p AS (SELECT off, string_split(replace(off, '-', ''), ':') AS parts FROM o)
+        |SELECT off, count(*) AS n,
+        |  CAST(min((CAST(parts[1] AS BIGINT) * 3600 + CAST(parts[2] AS BIGINT) * 60 +
+        |    CAST(parts[3] AS BIGINT)) *
+        |    (CASE WHEN off LIKE '-%' THEN -1 ELSE 1 END)) AS BIGINT) AS offset_seconds
+        |FROM p GROUP BY off ORDER BY off""".stripMargin)
 }

@@ -30,6 +30,35 @@ object TextOps {
     transform(sequence(lit(1), size(ws) - 1),
       i => concat_ws(" ", element_at(ws, i), element_at(ws, i + 1))))
 
+  /** default LSH bucket-size cap: generous for genuine near-dup clusters,
+    * a hard bound on join blowup (pairs per bucket <= cap²/2) */
+  val lshBucketCap = 1000
+
+  /** MinHash+LSH candidate pairs with a bucket-size skew guard — exposed
+    * for the adversarial-corpus spec (constant-text input must stay
+    * bounded instead of going quadratic). */
+  def minhashLshPairs(docsDf: DataFrame, bucketCap: Int): DataFrame = {
+    def sig(i: Int): Column = array_min(
+      transform(array_distinct(ws), w => md5(concat(lit(s"$i:"), w))))
+    val d = docsDf.select(
+      col("doc_id"),
+      md5(concat_ws("|", sig(0), sig(1), sig(2))).as("band1"),
+      md5(concat_ws("|", sig(3), sig(4), sig(5))).as("band2"))
+    val b1 = d.select(col("doc_id"), col("band1").as("bkt"), lit(1L).as("band"))
+    val b2 = d.select(col("doc_id"), col("band2").as("bkt"), lit(2L).as("band"))
+    val all = b1.unionByName(b2)
+    val small = all.groupBy("bkt", "band").agg(count(lit(1)).as("bn"))
+      .filter(col("bn") <= bucketCap).drop("bn")
+    val capped = all.join(small, Seq("bkt", "band"))
+    val l = capped.select(col("bkt"), col("band"), col("doc_id").as("a"))
+    val r = capped.select(col("bkt").as("bkt_r"), col("band").as("band_r"),
+      col("doc_id").as("b"))
+    l.join(r, col("bkt") === col("bkt_r") && col("band") === col("band_r") &&
+        col("a") < col("b"))
+      .select("a", "b", "band").distinct()
+      .orderBy("a", "b", "band")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // exact dedup: survivors = one per distinct text hash (group-min rule)
@@ -44,23 +73,30 @@ object TextOps {
 
     // n-gram Jaccard near-dup: candidate pairs via rare-shingle postings
     // (df <= 20 blocks the pair blowup), scored by |∩|/|A∪B| over bigram
-    // sets; deterministic total order
+    // sets; deterministic total order. Shingles are shuffled as xxhash64
+    // LONGS (16 bytes/row), never as strings — the oracle can't see the
+    // keys (only doc pairs + scores appear in the output) and a 64-bit
+    // collision over ~10^6 shingles is ~10^-8 (VERDICT r1 next-step 7).
     "d02_dedup_ngram_jaccard" -> ((s, dir) => {
       val d = docs(s, dir)
         .select(col("doc_id"), col("lang"), bigrams.as("sh"))
         .withColumn("nsh", size(col("sh")).cast("long"))
-      val posts = d.select(col("doc_id"), col("lang"), col("nsh"),
-        explode(col("sh")).as("g"))
-      val rare = posts.groupBy("g").agg(count(lit(1)).as("df"))
+      val posts = d.select(col("doc_id"), col("nsh"), col("lang"),
+          explode(col("sh")).as("g"))
+        .select(col("doc_id"), col("nsh"), col("lang"),
+          xxhash64(col("g")).as("gh"))
+      // df is counted per shingle ACROSS langs (oracle semantics); lang
+      // equality applies only at pair time
+      val rare = posts.groupBy("gh").agg(count(lit(1)).as("df"))
         .filter(col("df") <= 20 && col("df") >= 2)
-      val p = posts.join(rare, "g")
+      val p = posts.join(rare, "gh")
       // distinct aliases on both sides: a self-join on same-lineage columns
       // would resolve to a trivially-true predicate
-      val a = p.select(col("g"), col("lang"),
+      val a = p.select(col("gh"), col("lang"),
         col("doc_id").as("a"), col("nsh").as("na"))
-      val b = p.select(col("g").as("g_b"), col("lang").as("lang_b"),
+      val b = p.select(col("gh").as("gh_b"), col("lang").as("lang_b"),
         col("doc_id").as("b"), col("nsh").as("nb"))
-      a.join(b, col("g") === col("g_b") && col("lang") === col("lang_b") &&
+      a.join(b, col("gh") === col("gh_b") && col("lang") === col("lang_b") &&
           col("a") < col("b"))
         .groupBy("a", "b", "na", "nb")
         .agg(count(lit(1)).as("inter"))
@@ -73,25 +109,14 @@ object TextOps {
     }),
 
     // MinHash + LSH banding: 6 hash funcs over the distinct word set,
-    // 2 bands of 3 → docs sharing a band are near-dup candidates
-    "d03_dedup_minhash_lsh" -> ((s, dir) => {
-      def sig(i: Int): Column = array_min(
-        transform(array_distinct(ws), w => md5(concat(lit(s"$i:"), w))))
-      val d = docs(s, dir).select(
-        col("doc_id"),
-        md5(concat_ws("|", sig(0), sig(1), sig(2))).as("band1"),
-        md5(concat_ws("|", sig(3), sig(4), sig(5))).as("band2"))
-      val b1 = d.select(col("doc_id"), col("band1").as("bkt"), lit(1L).as("band"))
-      val b2 = d.select(col("doc_id"), col("band2").as("bkt"), lit(2L).as("band"))
-      val all = b1.unionByName(b2)
-      val l = all.select(col("bkt"), col("band"), col("doc_id").as("a"))
-      val r = all.select(col("bkt").as("bkt_r"), col("band").as("band_r"),
-        col("doc_id").as("b"))
-      l.join(r, col("bkt") === col("bkt_r") && col("band") === col("band_r") &&
-          col("a") < col("b"))
-        .select("a", "b", "band").distinct()
-        .orderBy("a", "b", "band")
-    }),
+    // 2 bands of 3 → docs sharing a band are near-dup candidates.
+    // SKEW GUARD (VERDICT r1 next-step 6): a degenerate bucket (boilerplate
+    // corpora collapse many docs into one band) makes the self-join
+    // quadratic — buckets above `lshBucketCap` members are excluded from
+    // pair generation (mirrored exactly in the oracle, and at 100 TB the
+    // right behavior: a 10^6-member bucket is boilerplate, not near-dups).
+    "d03_dedup_minhash_lsh" -> ((s, dir) =>
+      minhashLshPairs(docs(s, dir), lshBucketCap)),
 
     // SimHash: 16-bit signature from per-word md5 nibbles (bit i = sign of
     // Σ ±1 over words, + when hex digit i of md5(word) >= '8')
@@ -214,10 +239,15 @@ object TextOps {
         |      list_aggregate(list_transform(list_distinct(string_split(text,' ')), w -> md5('4:' || w)), 'min'),
         |      list_aggregate(list_transform(list_distinct(string_split(text,' ')), w -> md5('5:' || w)), 'min'))) AS band2
         |  FROM documents),
-        |buckets AS (
+        |buckets0 AS (
         |  SELECT doc_id, band1 AS bkt, CAST(1 AS BIGINT) AS band FROM sigs
         |  UNION ALL
-        |  SELECT doc_id, band2 AS bkt, CAST(2 AS BIGINT) AS band FROM sigs)
+        |  SELECT doc_id, band2 AS bkt, CAST(2 AS BIGINT) AS band FROM sigs),
+        |small AS (
+        |  SELECT bkt, band FROM buckets0 GROUP BY bkt, band
+        |  HAVING count(*) <= 1000),
+        |buckets AS (
+        |  SELECT buckets0.* FROM buckets0 JOIN small USING (bkt, band))
         |SELECT DISTINCT x.doc_id AS a, y.doc_id AS b, x.band AS band
         |FROM buckets x JOIN buckets y
         |  ON x.bkt = y.bkt AND x.band = y.band AND x.doc_id < y.doc_id
