@@ -80,10 +80,20 @@ object Bench {
     s
   }
 
-  private def time[A](f: => A): (A, Double) = {
+  private def gcMs: Long = {
+    import scala.jdk.CollectionConverters._
+    java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+      .asScala.map(_.getCollectionTime).sum
+  }
+
+  /** (result, wall seconds, GC milliseconds during the stage) — GC time is
+    * reported per stage so a collector pathology is visible in the JSON
+    * instead of masquerading as poor scaling. */
+  private def time[A](f: => A): (A, Double, Long) = {
+    val g0 = gcMs
     val t0 = System.nanoTime()
     val a = f
-    (a, (System.nanoTime() - t0) / 1e9)
+    (a, (System.nanoTime() - t0) / 1e9, gcMs - g0)
   }
 
   /** Bench tables live on tmpfs when available: the scaling-efficiency
@@ -108,16 +118,16 @@ object Bench {
       // size does not change the plan shape
       val df = Synth.tableDistributed(spark, rows, 42L,
         files = math.max(256, cpus * 8), minTok = 16, maxTok = 512)
-      val (_, tAppend) = time { t.appendPrepared(df, nowMs = 1L) }
+      val (_, tAppend, gAppend) = time { t.appendPrepared(df, nowMs = 1L) }
       val bytes1 = t.describe()("bytes").toLong
 
-      val (_, tCompact) = time {
+      val (_, tCompact, gCompact) = time {
         Rewrite.compact(t, spark,
           RewriteConfig(targetFileBytes = target, sortBy = "docid"), nowMs = 2L)
       }
       val bytes2 = t.describe()("bytes").toLong
 
-      val (_, tZorder) = time {
+      val (_, tZorder, gZorder) = time {
         Rewrite.cluster(t, spark,
           RewriteConfig(targetFileBytes = target, sortBy = "zkey"), nowMs = 3L)
       }
@@ -127,7 +137,7 @@ object Bench {
       val changes = Synth.changeSet(spark, rows, 42L,
         updates = nChange, inserts = nChange / 2, deletes = nChange / 4,
         minTok = 16, maxTok = 512)
-      val (_, tMerge) = time {
+      val (_, tMerge, gMerge) = time {
         Merge.run(t, spark, changes, nowMs = 4L, targetFileBytes = target)
       }
       val ratioMerge = t.log.current().get.summary.getOrElse("touched-ratio", "?")
@@ -138,7 +148,7 @@ object Bench {
       // most files (the uniform change-set above necessarily touches all)
       val changesLocal = Synth.changeSetLocal(spark, rows, 42L,
         updates = nChange, minTok = 16, maxTok = 512)
-      val (_, tMergeL) = time {
+      val (_, tMergeL, gMergeL) = time {
         Merge.run(t, spark, changesLocal, nowMs = 5L, targetFileBytes = target)
       }
       val ratioLocal = t.log.current().get.summary.getOrElse("touched-ratio", "?")
@@ -151,7 +161,7 @@ object Bench {
       import graft.cluster.ZOrder
       val dict = Rewrite.sourceDict(
         t.log.current().get, t.log.dataFiles(t.log.current().get))
-      val (_, tProbe) = time {
+      val (_, tProbe, gProbe) = time {
         t.scan()._1
           .withColumn("zkey", ZOrder.zkey(col("source"), col("n_tok"),
             col("doc_id"), dict))
@@ -164,14 +174,14 @@ object Bench {
       }
 
       Map(
-        "append" -> StageStat(tAppend, rows, bytes1),
-        "compact" -> StageStat(tCompact, rows, bytes1),
-        "zorder" -> StageStat(tZorder, rows, bytes2),
+        "append" -> StageStat(tAppend, rows, bytes1, Map("gc_ms" -> gAppend.toString)),
+        "compact" -> StageStat(tCompact, rows, bytes1, Map("gc_ms" -> gCompact.toString)),
+        "zorder" -> StageStat(tZorder, rows, bytes2, Map("gc_ms" -> gZorder.toString)),
         "merge" -> StageStat(tMerge, rows, bytes3,
-          Map("touched_ratio" -> ratioMerge)),
+          Map("touched_ratio" -> ratioMerge, "gc_ms" -> gMerge.toString)),
         "merge_local" -> StageStat(tMergeL, nChange, bytes4,
-          Map("touched_ratio" -> ratioLocal)),
-        "probe_scan_agg" -> StageStat(tProbe, rows, bytes5))
+          Map("touched_ratio" -> ratioLocal, "gc_ms" -> gMergeL.toString)),
+        "probe_scan_agg" -> StageStat(tProbe, rows, bytes5, Map("gc_ms" -> gProbe.toString)))
     } finally {
       spark.stop()
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))

@@ -102,19 +102,20 @@ object Synth {
   def changeSet(spark: SparkSession, baseRows: Long, seed: Long = 42L,
       updates: Long = 1000, inserts: Long = 500, deletes: Long = 200,
       minTok: Int = 16, maxTok: Int = 2048): DataFrame = {
-    // key selection runs on the NARROW frame (top-k never evaluates token
-    // arrays); payloads are materialized only for the selected rows
+    // key selection runs on the NARROW frame and picks rows by a hash
+    // THRESHOLD (≈ the requested count, deterministic) — a global
+    // orderBy+limit top-k at 10^5-k sizes is a single-reducer sort that
+    // would dominate the merge benchmark it feeds
     def narrow = tableNarrow(spark, baseRows, seed, minTok, maxTok)
-    val upd = withTokens(narrow
-        .withColumn("rk", pmod(xxhash64(col("doc_id"), lit(seed + 10)), lit(1000000)))
-        .orderBy("rk", "doc_id").limit(updates.toInt),
+    def pick(salt: Long, n: Long) = narrow
+      .withColumn("rk", pmod(xxhash64(col("doc_id"), lit(salt)), lit(1000000)))
+      .filter(col("rk") < lit(math.max(1L, n * 1000000L / math.max(1L, baseRows))))
+      .drop("rk")
+    val upd = withTokens(pick(seed + 10, updates),
         seed + 100) // different payload seed → differs from target in ≥1 element
       .select(col("doc_id"), col("tokens"), col("n_tok"), col("source"),
         lit("upsert").as("_op"))
-    val del = withTokens(narrow
-        .withColumn("rk", pmod(xxhash64(col("doc_id"), lit(seed + 12)), lit(1000000)))
-        .orderBy(org.apache.spark.sql.functions.desc("rk"), col("doc_id"))
-        .limit(deletes.toInt),
+    val del = withTokens(pick(seed + 12, deletes),
         seed) // original payload
       .select(col("doc_id"), col("tokens"), col("n_tok"), col("source"),
         lit("delete").as("_op"))
@@ -133,11 +134,12 @@ object Synth {
    */
   def changeSetLocal(spark: SparkSession, baseRows: Long, seed: Long = 42L,
       updates: Long = 1000, minTok: Int = 16, maxTok: Int = 2048): DataFrame = {
-    def narrow = tableNarrow(spark, baseRows, seed, minTok, maxTok)
-      .filter(col("doc_id").startsWith("0"))
-    withTokens(narrow
+    val slice = baseRows / 16 // keys starting "0" ≈ 1/16 of the table
+    val thresh = math.max(1L, updates * 1000000L / math.max(1L, slice))
+    withTokens(tableNarrow(spark, baseRows, seed, minTok, maxTok)
+        .filter(col("doc_id").startsWith("0"))
         .withColumn("rk", pmod(xxhash64(col("doc_id"), lit(seed + 20)), lit(1000000)))
-        .orderBy("rk", "doc_id").limit(updates.toInt),
+        .filter(col("rk") < lit(thresh)).drop("rk"),
         seed + 101)
       .select(col("doc_id"), col("tokens"), col("n_tok"), col("source"),
         lit("upsert").as("_op"))

@@ -84,6 +84,12 @@ object Merge {
   /** Max independent merge units per pass. */
   val MaxUnits = 32
 
+  /** Target bytes per merge unit — units are for resumability + bounded
+    * job size; slicing a small touched set into many tiny units just
+    * multiplies per-job fixed costs (measured: 32 units over 1.2 GB ran
+    * 12x slower than 3 units, all of it scheduler+GC churn). */
+  val UnitTargetBytes: Long = 512L * 1024 * 1024
+
   /** Max positive prefix code for 7 ASCII bytes (stats-missing fallback). */
   private val MaxCode7 = 0x7f7f7f7f7f7f7fL
 
@@ -183,10 +189,10 @@ object Merge {
     (bounds.toArray, keys.toArray)
   }
 
-  /** Per-source range-binned write from the unit's own manifest stats:
-    * boundaries on the driver, one data pass, deterministic layout. */
-  private def writeBinned(merged: DataFrame, files: Seq[DataFile],
-      targetBytes: Long, out: Path): Unit = {
+  /** (source, doc_id-range) bin expression from the unit's own manifest
+    * stats: boundaries on the driver, values are exact-placement partition
+    * keys (see ExactPartition). Returns (column, totalBins). */
+  private def binColumn(files: Seq[DataFile], targetBytes: Long): (Column, Int) = {
     val bySource = files.groupBy(_.partition.getOrElse("source", ""))
     val sources = bySource.keys.toSeq.sorted
     val enc7 = PrefixCode.code(col("doc_id"), 7)
@@ -202,12 +208,20 @@ object Merge {
     }
     val totalBins = base + 1 // +1 overflow bin for sources unseen in stats
     val pk = ExactPartition.keys(totalBins)
-    val binCol = pieces.foldLeft(lit(pk(totalBins - 1)): Column) {
+    val bin = pieces.foldLeft(lit(pk(totalBins - 1)): Column) {
       case (acc, (s, b0, bnds)) =>
         when(col("source") === s,
           RangeBin.bin(enc7, bnds, pk.slice(b0, b0 + bnds.length + 1)))
           .otherwise(acc)
     }
+    (bin, totalBins)
+  }
+
+  /** Per-source range-binned write from the unit's own manifest stats:
+    * boundaries on the driver, one data pass, deterministic layout. */
+  private[graft] def writeBinned(merged: DataFrame, files: Seq[DataFile],
+      targetBytes: Long, out: Path): Unit = {
+    val (binCol, totalBins) = binColumn(files, targetBytes)
     merged.withColumn("__bk", binCol)
       .repartition(totalBins, col("__bk"))
       .sortWithinPartitions(col("doc_id"))
@@ -216,9 +230,76 @@ object Merge {
       .write.partitionBy("p_source").parquet(out.toString)
   }
 
+  /** One sorted row during the fused merge scan: TokenRow + action
+    * priority (2 = delete, 1 = upsert, 0 = existing target row). */
+  private[graft] final case class ScanRow(
+      doc_id: String, tokens: Array[Int], n_tok: Int, source: String, prio: Int)
+
+  /**
+   * FUSED sorted-merge: the unit's target files and its source slice are
+   * unioned (tagged with an action priority), range-binned ONCE into the
+   * final output layout, sorted within each bin by (doc_id, prio desc),
+   * and merged by a linear per-partition run scan.
+   *
+   * This is the same algorithm SortMergeJoin runs — sort both sides by the
+   * key, walk the runs — but fused with the output partitioning: the token
+   * payload crosses the wire ONCE instead of three times (SMJ's two-sided
+   * exchange+sort, the join, then a second full exchange into output
+   * bins — measured 3x slower at 4M rows, all of it shuffle bytes). The
+   * run scan is trivially correct because each doc_id has at most two
+   * rows: one target copy (table uniqueness) and one source action
+   * (dedupSource), and the higher-priority row decides.
+   *
+   * INVARIANT (documented contract, same as the reference's silver layer
+   * where `source` is row provenance and never mutated): an upsert must
+   * not change an existing doc_id's `source` — both copies of a key must
+   * route to the same (source, doc_id-range) bin to meet in one scan.
+   * The DQ uniqueness check (dq.DQ) catches violations post-hoc.
+   */
+  private[graft] def fusedMergeWrite(target: DataFrame, srcU: DataFrame,
+      files: Seq[DataFile], targetBytes: Long, out: Path): Unit = {
+    val t = target.withColumn("prio", lit(0))
+    val s = srcU.select(col("doc_id"), col("tokens"), col("n_tok"),
+      col("source"),
+      when(col(opCol) === "delete", lit(2)).otherwise(lit(1)).as("prio"))
+    val all = t.unionByName(s)
+    val (binCol, totalBins) = binColumn(files, targetBytes)
+    val spark = target.sparkSession
+    import spark.implicits._
+    val merged = all.withColumn("__bk", binCol)
+      .repartition(totalBins, col("__bk"))
+      .sortWithinPartitions(col("doc_id"), col("prio").desc)
+      .drop("__bk")
+      .as[ScanRow]
+      .mapPartitions { it =>
+        new Iterator[TokenRow] {
+          private var cur: ScanRow = if (it.hasNext) it.next() else null
+          private var out: TokenRow = null
+          private def advance(): Unit = {
+            out = null
+            while (out == null && cur != null) {
+              val first = cur
+              // consume the whole run of this doc_id
+              var nxt: ScanRow = if (it.hasNext) it.next() else null
+              while (nxt != null && nxt.doc_id == first.doc_id)
+                nxt = if (it.hasNext) it.next() else null
+              cur = nxt
+              if (first.prio != 2) // delete drops the run
+                out = TokenRow(first.doc_id, first.tokens, first.n_tok, first.source)
+            }
+          }
+          advance()
+          def hasNext: Boolean = out != null
+          def next(): TokenRow = { val r = out; advance(); r }
+        }
+      }
+    merged.withColumn("p_source", col("source"))
+      .write.partitionBy("p_source").parquet(out.toString)
+  }
+
   /** Full-outer sorted-merge of one unit's target files with its source
     * slice, applying the upsert/delete action matrix. */
-  private def mergeFrames(target: DataFrame, src: DataFrame): DataFrame = {
+  private[graft] def mergeFrames(target: DataFrame, src: DataFrame): DataFrame = {
     val t = target.select(
       col("doc_id").as("t_doc_id"), col("tokens").as("t_tokens"),
       col("n_tok").as("t_n_tok"), col("source").as("t_source"))
@@ -253,6 +334,14 @@ object Merge {
    * Execute the merge against the current snapshot.
    * @param source change-set DataFrame (doc_id, tokens, n_tok, source, _op)
    */
+  private val debug = sys.env.get("SPARK_GRAFT_DEBUG").contains("1")
+  private def timed[A](tag: String)(f: => A): A =
+    if (!debug) f else {
+      val t0 = System.nanoTime(); val a = f
+      println(f"[merge-dbg] $tag ${(System.nanoTime() - t0) / 1e9}%.2fs")
+      a
+    }
+
   def run(table: TokenTable, spark: SparkSession, source: DataFrame,
       nowMs: Long = 0L,
       targetFileBytes: Long = 128L * 1024 * 1024): Snapshot = {
@@ -265,48 +354,51 @@ object Merge {
       // content fingerprint of the change-set → resume-safe pass id: a
       // crashed merge re-run with a different source gets a fresh pass id
       // and never reuses stale staged output
-      val fpRow = src.agg(
+      val fpRow = timed("fingerprint")(src.agg(
         sum(xxhash64(col("doc_id"), col(opCol), col("n_tok"), col("tokens"))
           .cast("decimal(38,0)")).as("fp"),
-        count(lit(1)).as("n")).collect()(0)
+        count(lit(1)).as("n")).collect()(0))
       val srcFp =
         if (fpRow.isNullAt(0)) "empty"
         else fpRow.getDecimal(0).toBigInteger.toString(16).takeRight(16)
       val passId = s"merge-v${snap.version}-$srcFp"
 
-      val (cellChars, cells) = keyCells(src.select("doc_id"))
+      val (cellChars, cells) = timed("keyCells")(keyCells(src.select("doc_id")))
       val touched = cells match {
         case Some(cs) => files.filter { f =>
           val (lo, hi) = spanOf(f, cellChars); anyCellIn(cs, lo, hi)
         }
         case None => files
       }
-      val units = planUnits(touched, cellChars, MaxUnits)
+      val touchedBytes = touched.map(_.bytes).sum
+      val maxUnits = math.max(1, math.min(MaxUnits,
+        math.ceil(touchedBytes.toDouble / UnitTargetBytes).toInt))
+      val units = planUnits(touched, cellChars, maxUnits)
       val (bounds, keysArr) = routing(units)
       val unitOf = RangeBin.bin(
         PrefixCode.code(col("doc_id"), cellChars), bounds, keysArr)
 
       val done = lin.completed(passId)
-      val unitOuts = Concurrency.mapUnits(units) { u =>
+      val unitOuts = Concurrency.mapUnits(units) { u => timed(s"unit ${u.key} files=${u.files.size}") {
         done.get(u.key) match {
           case Some(rec) => table.log.absolute(rec.filesOut.head)
           case None =>
             val target = spark.read.schema(TokenRow.schema)
               .parquet(u.files.map(f => table.log.absolute(f.path).toString): _*)
-            val merged = mergeFrames(target, src.filter(unitOf === u.id))
             val outDir = table.log.newDataSubdir()
-            writeBinned(merged, u.files, targetFileBytes, outDir)
+            fusedMergeWrite(target, src.filter(unitOf === u.id),
+              u.files, targetFileBytes, outDir)
             lin.append(LineageRecord(passId, "merge", u.key, "done",
               u.files.size, Seq(table.log.relativize(outDir)),
               u.rows, u.bytes, 1))
             outDir
         }
-      }
+      }}
 
       // insert unit: keys outside every touched range; deletes are no-ops
       val insDF = src.filter(unitOf === -1 && col(opCol) =!= "delete")
         .select("doc_id", "tokens", "n_tok", "source")
-      val insRows = insDF.count()
+      val insRows = timed("insert-count")(insDF.count())
       val insOut: Option[Path] =
         if (insRows == 0) None
         else done.get("inserts") match {

@@ -150,6 +150,21 @@ object MaintQueries {
         .toDF("versions_before", "versions_after", "n_rows", "fp_sum")
     }),
 
+    // SQL front door: spark.sql over the registered graft view — the scan
+    // goes through GraftFileIndex (manifest pruning + native parquet)
+    "m07_sql_scan" -> ((s, dir) => {
+      val t = freshTable(s, dir, "sql")
+      Rewrite.cluster(t, s, RewriteConfig(targetFileBytes = 16L * 1024,
+        sortBy = "zkey"), nowMs = 2L)
+      graft.sources.GraftSql.register(s, t, "graft_tokens")
+      s.sql(
+        """SELECT source, count(*) AS n_rows,
+          |  CAST(sum(n_tok) AS BIGINT) AS sum_tok
+          |FROM graft_tokens
+          |WHERE n_tok BETWEEN 20 AND 70 AND source IN ('src3', 'src7')
+          |GROUP BY source ORDER BY source""".stripMargin)
+    }),
+
     // salted two-phase aggregation over the hot source key — must equal a
     // plain GROUP BY exactly
     "m05_salted_agg" -> ((s, dir) => {
@@ -257,6 +272,14 @@ object MaintQueries {
         |    array_to_string(list_transform(string_split(text,' '),
         |      w -> length(w)), ',')), 1, 12)) AS BIGINT)) AS BIGINT) AS fp_sum
         |FROM documents""".stripMargin,
+
+    "m07_sql_scan" ->
+      """SELECT source, count(*) AS n_rows,
+        |  CAST(sum(len(string_split(text,' '))) AS BIGINT) AS sum_tok
+        |FROM documents
+        |WHERE len(string_split(text,' ')) BETWEEN 20 AND 70
+        |  AND source IN ('src3', 'src7')
+        |GROUP BY source ORDER BY source""".stripMargin,
 
     "m05_salted_agg" ->
       """SELECT source,

@@ -82,6 +82,69 @@ object ProbeDiag {
           val sec = (System.nanoTime() - t0) / 1e9
           println(f"probe_nozkey cpus=$cpus mpb=$mpb run=$i sec=$sec%.2f gc_ms=${gcMs - g0}")
         }
+      case "mergeprof" =>
+        spark.sparkContext.addSparkListener(
+          new org.apache.spark.scheduler.SparkListener {
+            override def onStageCompleted(
+                sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+              val si = sc.stageInfo
+              val m = si.taskMetrics
+              println(f"stage ${si.stageId}%4d tasks=${si.numTasks}%4d " +
+                f"wall=${(si.completionTime.getOrElse(0L) - si.submissionTime.getOrElse(0L)) / 1e3}%7.2fs " +
+                f"cpu=${m.executorCpuTime / 1e9}%8.1fs run=${m.executorRunTime / 1e3}%8.1fs " +
+                f"gc=${m.jvmGCTime / 1e3}%6.1fs " +
+                f"shW=${m.shuffleWriteMetrics.bytesWritten / 1e6}%8.1fMB " +
+                f"shR=${m.shuffleReadMetrics.totalBytesRead / 1e6}%8.1fMB " +
+                f"spill=${m.diskBytesSpilled / 1e6}%8.1fMB ${si.name.take(60)}")
+            }
+          })
+        // expects a post-zorder table at root; times each merge phase
+        import graft.maint.{Merge, Rewrite, RewriteConfig}
+        val t0 = TokenTable.load(root, spark)
+        if (t0.log.current().get.operation != "zorder") {
+          Rewrite.compact(t0, spark,
+            RewriteConfig(targetFileBytes = 8L * 1024 * 1024, sortBy = "docid"), 2L)
+          Rewrite.cluster(t0, spark,
+            RewriteConfig(targetFileBytes = 8L * 1024 * 1024, sortBy = "zkey"), 3L)
+        }
+        val t = TokenTable.load(root, spark)
+        val files = t.log.dataFiles(t.log.current().get)
+        val rows = files.map(_.rows).sum
+        val nChange = math.max(1000L, rows / 50)
+        val src = Merge.dedupSource(Synth.changeSet(spark, rows, 42L,
+          nChange, nChange / 2, nChange / 4, 16, 512)).cache()
+        def tm(tag: String)(f: => Any): Unit = {
+          val g0 = gcMs; val s0 = System.nanoTime(); f
+          println(f"mergeprof $tag sec=${(System.nanoTime() - s0) / 1e9}%.2f gc_ms=${gcMs - g0}")
+        }
+        tm("src-materialize")(src.count())
+        val paths = files.map(f => t.log.absolute(f.path).toString)
+        val target = spark.read.schema(TokenRow.schema).parquet(paths: _*)
+        tm("target-count")(target.agg(count(lit(1))).collect())
+        val merged = Merge.mergeFrames(target, src)
+        tm("smj-count")(merged.agg(count(lit(1))).collect())
+        tm("smj-count-again")(merged.agg(count(lit(1))).collect())
+        val out3 = t.log.newDataSubdir()
+        tm("write-fused") {
+          Merge.fusedMergeWrite(target, src, files, 8L * 1024 * 1024, out3)
+        }
+        val out4 = t.log.newDataSubdir()
+        tm("write-fused-2") {
+          Merge.fusedMergeWrite(target, src, files, 8L * 1024 * 1024, out4)
+        }
+        if (sys.env.get("SPARK_GRAFT_PROF_ALL").contains("1")) {
+          val out1 = t.log.newDataSubdir()
+          tm("write-flat") {
+            merged.withColumn("p_source", col("source"))
+              .write.partitionBy("p_source").parquet(out1.toString)
+          }
+          val out2 = t.log.newDataSubdir()
+          tm("write-binned") {
+            Merge.writeBinned(merged, files, 8L * 1024 * 1024, out2)
+          }
+        }
+        src.unpersist()
+
       case "probe_count" =>
         val t = TokenTable.load(root, spark)
         for (i <- 1 to 4) {

@@ -155,6 +155,26 @@ class EngineSpec extends SparkTestBase {
     assert(plan.contains("SortMergeJoin"), plan)
   }
 
+  test("fused single-exchange merge equals the SortMergeJoin reference") {
+    // the execution path (fusedMergeWrite: union → one range exchange →
+    // sort → linear run scan) must produce exactly the rows the Catalyst
+    // SortMergeJoin formulation (mergeFrames) produces
+    val t = TokenTable.create(tmpDir("graft-fused"), spark)
+    t.append(Synth.table(spark, 6000, 42L, 16, 128), targetFileCount = 24, nowMs = 1L)
+    val files = t.log.dataFiles(t.log.current().get)
+    val target = spark.read.schema(TokenRow.schema)
+      .parquet(files.map(f => t.log.absolute(f.path).toString): _*)
+    val changes = Merge.dedupSource(
+      Synth.changeSet(spark, 6000, 42L, 300, 150, 80, 16, 128))
+    val smj = Merge.mergeFrames(target, changes)
+    val out = t.log.newDataSubdir()
+    Merge.fusedMergeWrite(target, changes, files, 1L * 1024 * 1024, out)
+    val fused = spark.read.schema(TokenRow.schema)
+      .parquet(out.toString)
+    assert(fused.count() === smj.count())
+    assert(fingerprint(fused) === fingerprint(smj))
+  }
+
   test("snapshot expire GCs exactly the unreachable files") {
     import scala.jdk.CollectionConverters._
     val log = table.log

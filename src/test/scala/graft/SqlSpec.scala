@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.gen.Synth
+import graft.maint.{Rewrite, RewriteConfig}
+import graft.sources.GraftSql
+
+/** SQL front door: spark.sql over a graft table must reach manifest
+  * pruning (VERDICT r1 "What's missing" #2 / next-step 5). */
+class SqlSpec extends SparkTestBase {
+
+  lazy val table: TokenTable = {
+    val t = TokenTable.create(tmpDir("graft-sql"), spark)
+    t.append(Synth.table(spark, 12000, 42L, 16, 256), targetFileCount = 32, nowMs = 1L)
+    Rewrite.cluster(t, spark,
+      RewriteConfig(targetFileBytes = 512L * 1024, sortBy = "zkey"), nowMs = 2L)
+    t
+  }
+
+  test("spark.sql results equal the programmatic scan") {
+    val index = GraftSql.register(spark, table, "graft_tokens")
+    val viaSql = spark.sql(
+      """SELECT source, count(*) AS n, CAST(sum(n_tok) AS BIGINT) AS toks
+        |FROM graft_tokens WHERE source = 'code' AND n_tok BETWEEN 32 AND 128
+        |GROUP BY source""".stripMargin).collect()
+    val viaScan = table.scan()._1
+      .filter(col("source") === "code" && col("n_tok").between(32, 128))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n"), sum(col("n_tok")).cast("long").as("toks"))
+      .collect()
+    assert(viaSql.toSeq.map(_.toSeq) === viaScan.toSeq.map(_.toSeq))
+    // manifest pruning fired inside SQL planning
+    val m = index.lastScan.get
+    assert(m.filesKept < m.filesTotal, s"no pruning: $m")
+    // and the engine's own stats-pruned scan agrees on the kept count
+    val pred = Predicate.And(Predicate.Eq("source", "code"),
+      Predicate.Between("n_tok", 32, 128))
+    assert(m.filesKept === table.scan(pred)._2.filesKept)
+  }
+
+  test("filters are pushed to the parquet scan in the SQL plan") {
+    GraftSql.register(spark, table, "graft_tokens")
+    val plan = spark.sql(
+      "SELECT doc_id FROM graft_tokens WHERE source = 'wiki' AND n_tok > 100")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [EqualTo(source,wiki), GreaterThan(n_tok,100)]"), plan)
+    // column pruning: only the projected + filter columns are read
+    assert(plan.contains("ReadSchema") && !plan.contains("tokens:"), plan)
+  }
+
+  test("snapshot pinning: the view is immutable under later commits") {
+    val (df0, _) = GraftSql.toDF(spark, table)
+    val before = df0.count()
+    table.append(Synth.table(spark, 500, 7L, 16, 64)
+      .withColumn("doc_id", concat(lit("zz-"), col("doc_id"))),
+      targetFileCount = 2, nowMs = 3L)
+    assert(df0.count() === before) // pinned snapshot unaffected
+    val (df1, _) = GraftSql.toDF(spark, table)
+    assert(df1.count() === before + 500) // fresh handle sees the append
+  }
+}
