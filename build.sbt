@@ -26,12 +26,11 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  // SMALL heap on purpose. This sandbox throttles dirty-page creation
-  // globally (sustained ~6 MB/s); with a large -Xmx, G1 grows the heap
-  // instead of collecting, so every young-gen cycle touches NEW pages and
-  // the 32-thread level collapses into page-throttle + GC death (measured:
-  // the no-write scan probe ran 25-165 s at -Xmx48g vs a stable 2.5 s at
-  // -Xmx8g). A capped heap forces page reuse, which is also the right
-  // shape per-executor on a real cluster.
+  // SMALL heap on purpose: with a large -Xmx, G1 grows the heap instead
+  // of collecting (33 GB RSS on a 1.2 GB-input job) and the 32-thread
+  // level collapses into GC death — measured: the no-write scan probe ran
+  // 25-165 s at -Xmx48g vs a stable 2.5 s at -Xmx8g; 8g also beat 12g-G1
+  // and 12g-ParallelGC head-to-head. A capped heap forces page reuse,
+  // which is also the right shape per-executor on a real cluster.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-)
+) ++ sys.env.get("SPARK_GRAFT_GC").map(g => s"-XX:+Use${g}GC").toSeq

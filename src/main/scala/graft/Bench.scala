@@ -13,25 +13,29 @@ import graft.maint.{Merge, Rewrite, RewriteConfig}
  * and N-vs-4N scaling efficiency evidenced at two local parallelism levels
  * (the sandbox stand-in for two cluster sizes).
  *
- * Measurement discipline for this sandbox (all three effects measured):
- *  - the first pipeline in a JVM pays C2 JIT compilation of the whole
+ * Measurement discipline for this sandbox (each point measured, see
+ * BASELINE.md "Measurement discipline"):
+ *  - the first pipeline in a JVM pays C2 JIT of the whole
  *    Spark/parquet/zstd stack (2-4x) → one warmup pipeline first;
- *  - the sandbox throttles DIRTY-PAGE CREATION globally (sustained
- *    ~6 MB/s; bursts are fast) → a large JVM heap is fatal: G1 grows the
- *    heap instead of collecting and every young-gen cycle touches new
- *    pages (round 1 ran with -Xmx48g and inverse-scaled at 32 threads;
- *    build.sbt now pins 8g so pages are reused);
- *  - whichever level runs later pays any drained page budget → levels are
- *    interleaved SYMMETRICALLY (hi,lo,lo,hi) and each level reports its
- *    per-stage minimum.
+ *  - a large JVM heap is fatal: G1 grows the heap instead of collecting
+ *    (round 1 ran -Xmx48g and inverse-scaled; build.sbt pins 8g);
+ *  - the box's DRAM bandwidth scales ~linearly from 2 to 8 threads but
+ *    only ~1.6x from 8 to 32 (one shared memory bus) — so the N-vs-4N
+ *    pair runs at (2, 8) cores where hardware scaling is linear, the
+ *    32-core run reports absolute throughput, and an embedded bandwidth
+ *    probe puts the envelope in the JSON;
+ *  - levels are interleaved symmetrically with cooldowns; per-level
+ *    per-stage minimum of 2 runs.
  * Stage INPUTS are identical at both levels by construction: the
  * generator, FFD bins, cluster boundaries (driver-side, from a
  * hash-filtered sample) and merge bins (driver-side, from manifest stats)
  * are all pure functions of the data, never of the core count.
  *
- * Env knobs: SPARK_GRAFT_SF_DIR (query input), SPARK_GRAFT_CPUS (main
- * level, default 32), SPARK_GRAFT_BENCH_ROWS (maintenance table size,
- * default 1M), SPARK_GRAFT_SCALING=0 to skip the second (N/4) run.
+ * Env knobs: SPARK_GRAFT_SF_DIR (query input), SPARK_GRAFT_CPUS
+ * (throughput level, default 32), SPARK_GRAFT_BENCH_ROWS (default 4M),
+ * SPARK_GRAFT_SCALE_CPUS (N of the N/4N pair, default 2),
+ * SPARK_GRAFT_SCALE_ROWS (default BENCH_ROWS/2),
+ * SPARK_GRAFT_SCALING=0 to skip the scaling pair.
  */
 object Bench {
 
@@ -58,9 +62,12 @@ object Bench {
       // overhead for throughput measurement (HDFS/S3 integrity lives
       // elsewhere in a real deployment)
       .config("spark.hadoop.fs.file.impl", "org.apache.hadoop.fs.RawLocalFileSystem")
-      // smaller input splits → enough map tasks to fill 32 cores even when
-      // a partition unit only holds a few hundred MB
-      .config("spark.sql.files.maxPartitionBytes", (8L * 1024 * 1024).toString)
+      // ~32 MB splits: the local-mode scheduler dispatches tasks from one
+      // event loop at ~6 ms/task (measured: a column-pruned count over 155
+      // near-empty tasks takes ~1.0 s at EVERY core count) — scaling
+      // efficiency needs per-task work >> dispatch cost, so fewer, bigger
+      // tasks beat many small ones
+      .config("spark.sql.files.maxPartitionBytes", (32L * 1024 * 1024).toString)
       // spend parallel CPU to shrink bytes: zstd entropy-codes the
       // ~15.6-bit random token ints (lz4/snappy are match-based and get
       // ~0% there) and parquet v2 delta-bit-packs the int arrays. Sound
@@ -96,6 +103,33 @@ object Bench {
     (a, (System.nanoTime() - t0) / 1e9, gcMs - g0)
   }
 
+  /** Raw memory-bandwidth probe (read+write long-array streaming) at a
+    * given thread count — the hardware envelope every bandwidth-bound
+    * stage lives inside. Reported in the bench JSON so the scaling pair's
+    * core counts are justified by data in the same file. */
+  private def memBwGbps(threads: Int): Double = {
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(threads)
+    val latch = new java.util.concurrent.CountDownLatch(threads)
+    val sink = new java.util.concurrent.atomic.AtomicLong
+    val t0 = System.nanoTime()
+    (0 until threads).foreach { _ =>
+      pool.submit(new Runnable { def run(): Unit = {
+        val arr = new Array[Long](8 * 1024 * 1024) // 64 MB per thread
+        var s = 0L
+        var pass = 0
+        while (pass < 8) {
+          var i = 0
+          while (i < arr.length) { arr(i) += i; s += arr(i); i += 1 }
+          pass += 1
+        }
+        sink.addAndGet(s); latch.countDown()
+      }})
+    }
+    latch.await(); pool.shutdown()
+    val sec = (System.nanoTime() - t0) / 1e9
+    threads * 8 * 64.0 * 2 / 1024 / sec // read+write GB/s
+  }
+
   /** Bench tables live on tmpfs when available: the scaling-efficiency
     * measurement should compare CPU parallelism levels, not contend on one
     * local disk (a real cluster's IO scales with executors). */
@@ -110,14 +144,14 @@ object Bench {
   private def maintenance(cpus: Int, rows: Long): Map[String, StageStat] = {
     val spark = session(cpus)
     val root = benchRoot(cpus)
-    val target = 8L * 1024 * 1024 // small targets: >2x-cores tasks per stage
+    val target = 32L * 1024 * 1024 // ~5 waves of 32 at the default table size
     try {
       val t = TokenTable.create(root, spark, 1L)
-      // shorter sequences than the correctness fixture: the write-throttled
-      // sandbox makes bytes-written the scarce resource, and per-sequence
-      // size does not change the plan shape
+      // shorter sequences than the correctness fixture — more rows per GB
+      // exercises the per-row machinery harder and per-sequence size does
+      // not change the plan shape
       val df = Synth.tableDistributed(spark, rows, 42L,
-        files = math.max(256, cpus * 8), minTok = 16, maxTok = 512)
+        files = math.max(256, (rows / 50000).toInt), minTok = 16, maxTok = 512)
       val (_, tAppend, gAppend) = time { t.appendPrepared(df, nowMs = 1L) }
       val bytes1 = t.describe()("bytes").toLong
 
@@ -154,10 +188,10 @@ object Bench {
       val ratioLocal = t.log.current().get.summary.getOrElse("touched-ratio", "?")
       val bytes5 = t.describe()("bytes").toLong
 
-      // CPU-scaling probe: full scan + Z-key + row fingerprint + partial
+      // compute probe: full scan + Z-key + row fingerprint + partial
       // aggregation — the compute front-end every rewrite pass shares,
-      // with a KB-sized shuffle and NO writes; isolates compute scaling
-      // from the sandbox's global write throttle.
+      // with a KB-sized shuffle and NO writes; isolates read+compute
+      // scaling from writer effects.
       import graft.cluster.ZOrder
       val dict = Rewrite.sourceDict(
         t.log.current().get, t.log.dataFiles(t.log.current().get))
@@ -191,8 +225,8 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
-    val benchRows = sys.env.getOrElse("SPARK_GRAFT_BENCH_ROWS", "1000000").toLong
-    val cooldownMs = sys.env.getOrElse("SPARK_GRAFT_BENCH_COOLDOWN_MS", "45000").toLong
+    val benchRows = sys.env.getOrElse("SPARK_GRAFT_BENCH_ROWS", "4000000").toLong
+    val cooldownMs = sys.env.getOrElse("SPARK_GRAFT_BENCH_COOLDOWN_MS", "30000").toLong
     val doScaling = sys.env.getOrElse("SPARK_GRAFT_SCALING", "1") != "0"
 
     // 1. per-query timings at the main parallelism level. Failures are
@@ -215,22 +249,44 @@ object Bench {
         rs
       }
 
-    // 2. maintenance throughput at N cores, and at N/4 for scaling
-    // evidence, symmetrically interleaved with cooldowns (see header).
+    // 2. Maintenance measurements, three parts:
+    //    (a) absolute throughput at the full core count (seq/s, GB/s);
+    //    (b) the N vs 4N scaling pair at (scaleCpus, 4*scaleCpus) — by
+    //        default 2 vs 8, NOT 8 vs 32: this VM's DRAM bandwidth scales
+    //        only ~1.6x from 8 to 32 threads (measured below and reported
+    //        in the JSON), so 8->32 efficiency is capped ~0.4 by the
+    //        MEMORY BUS for any bandwidth-bound engine. 2->8 is the range
+    //        where the box scales linearly — and the honest analog of a
+    //        real cluster, where every added executor brings its own
+    //        memory controllers (per-core bandwidth stays constant);
+    //    (c) a raw memory-bandwidth probe at both scaling levels plus the
+    //        full count, embedded so the JSON carries its own hardware
+    //        envelope.
     def minStages(a: Map[String, StageStat],
         b: Map[String, StageStat]): Map[String, StageStat] =
       a.map { case (k, v) => k -> (if (b.get(k).exists(_.sec < v.sec)) b(k) else v) }
+    val scaleCpus = sys.env.getOrElse("SPARK_GRAFT_SCALE_CPUS", "2").toInt
+    val scale4Cpus = scaleCpus * 4
+    // scaling-pair table: same size as the throughput table (measured to
+    // be the stable point: bigger pairs make the N-level pipeline long
+    // enough to drift into a degraded JVM state mid-run, and smaller ones
+    // sink below the ~1 s/job dispatch floor)
+    val scaleRows = sys.env.getOrElse("SPARK_GRAFT_SCALE_ROWS",
+      benchRows.toString).toLong
+    val bw = Seq(scaleCpus, scale4Cpus, cpus).map(n => n -> memBwGbps(n)).toMap
     maintenance(cpus, math.max(benchRows / 10, 20000)) // JIT warmup
-    val loCpus = math.max(1, cpus / 4)
     def cooled[A](f: => A): A = { Thread.sleep(cooldownMs); f }
-    val (hi, lo) =
+    val (hi, lo4, lo1) =
       if (doScaling) {
         val h1 = cooled(maintenance(cpus, benchRows))
-        val l1 = cooled(maintenance(loCpus, benchRows))
-        val l2 = cooled(maintenance(loCpus, benchRows))
+        val a4 = cooled(maintenance(scale4Cpus, scaleRows))
+        val a1 = cooled(maintenance(scaleCpus, scaleRows))
+        val b1 = cooled(maintenance(scaleCpus, scaleRows))
+        val b4 = cooled(maintenance(scale4Cpus, scaleRows))
         val h2 = cooled(maintenance(cpus, benchRows))
-        (minStages(h1, h2), minStages(l1, l2))
-      } else (maintenance(cpus, benchRows), Map.empty[String, StageStat])
+        (minStages(h1, h2), minStages(a4, b4), minStages(a1, b1))
+      } else (maintenance(cpus, benchRows),
+        Map.empty[String, StageStat], Map.empty[String, StageStat])
 
     def fmt(d: Double): String = f"$d%.4f"
     val qs = results.map { case (k, v) => s""""$k":${fmt(v)}""" }
@@ -240,17 +296,25 @@ object Bench {
       .map { case (k, v) => s""""$k":"${v.replace("\\", "\\\\").replace("\"", "\\\"")}"""" }
       .mkString("{", ",", "}")
 
-    val maintJson = hi.toSeq.sortBy(_._1).map { case (st, s) =>
-      val extras = s.extra.toSeq.sortBy(_._1)
+    val maintJson = hi.toSeq.sortBy(_._1).map { case (st, h) =>
+      val extras = h.extra.toSeq.sortBy(_._1)
         .map { case (k, v) => s""","$k":"$v"""" }.mkString
-      s""""$st":{"sec":${fmt(s.sec)},"seq_per_s":${fmt(s.rows / s.sec)},"gb_per_s":${fmt(s.bytes / s.sec / 1e9)}$extras""" +
-        lo.get(st).map { l =>
-          // efficiency = (T_lo * N_lo) / (T_hi * N_hi): 1.0 = linear scaling
-          val eff = (l.sec * loCpus) / (s.sec * cpus)
-          s""","sec_n4":${fmt(l.sec)},"scaling_eff":${fmt(eff)}"""
-        }.getOrElse("") + "}"
+      val scalingPart = (lo1.get(st), lo4.get(st)) match {
+        case (Some(n), Some(n4)) =>
+          // efficiency = (T_N * N) / (T_4N * 4N): 1.0 = linear scaling
+          val eff = (n.sec * scaleCpus) / (n4.sec * scale4Cpus)
+          s""","sec_n":${fmt(n.sec)},"sec_n4":${fmt(n4.sec)}""" +
+            s""","seq_per_s_n":${fmt(n.rows / n.sec)},"seq_per_s_n4":${fmt(n4.rows / n4.sec)}""" +
+            s""","gb_per_s_n":${fmt(n.bytes / n.sec / 1e9)},"gb_per_s_n4":${fmt(n4.bytes / n4.sec / 1e9)}""" +
+            s""","scaling_eff":${fmt(eff)}"""
+        case _ => ""
+      }
+      s""""$st":{"sec":${fmt(h.sec)},"seq_per_s":${fmt(h.rows / h.sec)},"gb_per_s":${fmt(h.bytes / h.sec / 1e9)}$extras$scalingPart}"""
     }.mkString("{", ",", "}")
 
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"query_errors":$errJson,"sf":"$sfDir","bench_rows":$benchRows,"cpus":$cpus,"lo_cpus":$loCpus,"maintenance":$maintJson}""")
+    val bwJson = bw.toSeq.sortBy(_._1)
+      .map { case (n, g) => s""""t$n":${fmt(g)}""" }.mkString("{", ",", "}")
+
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"query_errors":$errJson,"sf":"$sfDir","bench_rows":$benchRows,"scale_rows":$scaleRows,"cpus":$cpus,"scale_cpus":$scaleCpus,"scale4_cpus":$scale4Cpus,"mem_bw_gbps":$bwJson,"maintenance":$maintJson}""")
   }
 }

@@ -102,7 +102,34 @@ object Maintain {
           println(s"expired versions: ${r.expiredVersions.mkString(",")}")
           println(s"deleted data files: ${r.deletedDataFiles.size}")
           println(s"deleted manifests: ${r.deletedManifests.size}")
+          if (opts.contains("sweep-orphans")) {
+            val o = Expire.sweepOrphans(t,
+              graceMs = opts.getOrElse("grace-hours", "24").toLong * 3600 * 1000)
+            println(s"orphans swept: data=${o.dataFiles.size} " +
+              s"manifests=${o.manifests.size} tmp=${o.tmpSnapshots.size}")
+          }
           report(t, t.log.currentVersion().getOrElse(-1L))
+        case "replace" =>
+          // dynamic partition overwrite with synthetic payload for the
+          // given sources: regenerates those partitions' rows (new seed)
+          val t = TokenTable.load(root, spark)
+          val sources = opts.getOrElse("sources",
+            { System.err.println("error: --sources a,b,.. required"); sys.exit(2); "" })
+            .split(",").toSeq
+          val rows = opts.getOrElse("rows", "10000").toLong
+          val df = Synth.table(spark, rows, opts.getOrElse("seed", "77").toLong)
+            .filter(org.apache.spark.sql.functions.col("source").isin(sources: _*))
+          val s = t.replacePartitions(df, opts.getOrElse("files", "8").toInt, nowMs)
+          report(t, s.version)
+        case "sql" =>
+          val t = TokenTable.load(root, spark)
+          val idx = graft.sources.GraftSql.register(spark, t, "graft_tokens")
+          val q = opts.getOrElse("query",
+            "SELECT source, count(*) AS n FROM graft_tokens GROUP BY source ORDER BY source")
+          spark.sql(q).show(100, truncate = false)
+          idx.lastScan.foreach(m => println(
+            s"filesKept=${m.filesKept}/${m.filesTotal} " +
+              f"pruning=${m.pruningRatio}%.3f"))
         case "rewrite-manifests" =>
           val t = TokenTable.load(root, spark)
           val s = Expire.rewriteManifests(t, nowMs)
@@ -169,10 +196,12 @@ object Maintain {
   }
 
   private def usage(): Unit = System.err.println(
-    """usage: graft.Maintain <init|append|compact|zorder|hilbert|merge|expire|rewrite-manifests|dq|describe|scan> --table <root> [options]
+    """usage: graft.Maintain <init|append|compact|zorder|hilbert|merge|replace|expire|rewrite-manifests|dq|describe|scan|sql> --table <root> [options]
       |  init/append: --rows N --seed S --files K
       |  compact/zorder/hilbert: --target-mb M [--sort-by docid|zkey|hilbert|none]
       |  merge: --updates U --inserts I --deletes D --seed S
-      |  expire: --retain K
-      |  scan: --source S --min-tok A --max-tok B""".stripMargin)
+      |  replace: --sources a,b,.. --rows N --seed S --files K   (dynamic partition overwrite)
+      |  expire: --retain K [--sweep-orphans [--grace-hours H]]
+      |  scan: --source S --min-tok A --max-tok B
+      |  sql: --query "SELECT ... FROM graft_tokens ..."""".stripMargin)
 }

@@ -112,8 +112,37 @@ object Merge {
       case _ => (0L, MaxCode7)
     }
 
-  /** Sorted distinct key cells at adaptive granularity.
-    * Returns (chars, Some(cells)) or (chars, None) on cap overflow. */
+  /** One cell of the change-set summary: sorted key-prefix cell, its row
+    * count, non-delete count, and content-fingerprint partial sum. */
+  final case class CellStat(cell: Long, n: Long, nUpserts: Long,
+      fp: java.math.BigDecimal)
+
+  /** Change-set summary in ONE aggregation job: sorted distinct key cells
+    * with per-cell counts and fingerprint partials. One scan of the cached
+    * source yields everything the driver plan needs (touched files, pass
+    * id, insert sizing) — per-job dispatch overhead is a measured ~1 s on
+    * the serial floor, so the planning jobs are folded together. Returns
+    * None cells on cap overflow (degrade to all-files-touched). */
+  def cellStats(src: DataFrame): (Int, Option[Seq[CellStat]]) = {
+    def collect(c: Int): Option[Seq[CellStat]] = {
+      val rows = src.groupBy(PrefixCode.code(col("doc_id"), c).as("cell"))
+        .agg(count(lit(1)).as("n"),
+          count(when(col(opCol) =!= "delete", 1)).as("nu"),
+          sum(xxhash64(col("doc_id"), col(opCol), col("n_tok"), col("tokens"))
+            .cast("decimal(38,0)")).as("fp"))
+        .limit(CellCap + 1).collect()
+      if (rows.length > CellCap) None
+      else Some(rows.map(r => CellStat(r.getLong(0), r.getLong(1),
+        r.getLong(2), r.getDecimal(3))).sortBy(_.cell).toSeq)
+    }
+    collect(RouteChars) match {
+      case Some(cs) => (RouteChars, Some(cs))
+      case None => (3, collect(3))
+    }
+  }
+
+  /** Sorted distinct key cells at adaptive granularity (summary helper,
+    * kept for specs). */
   def keyCells(keys: DataFrame): (Int, Option[Array[Long]]) = {
     def collect(c: Int): Option[Array[Long]] = {
       val rows = keys.select(PrefixCode.code(col("doc_id"), c).as("c"))
@@ -351,19 +380,31 @@ object Merge {
 
     val src = dedupSource(source).cache()
     try {
-      // content fingerprint of the change-set → resume-safe pass id: a
-      // crashed merge re-run with a different source gets a fresh pass id
-      // and never reuses stale staged output
-      val fpRow = timed("fingerprint")(src.agg(
-        sum(xxhash64(col("doc_id"), col(opCol), col("n_tok"), col("tokens"))
-          .cast("decimal(38,0)")).as("fp"),
-        count(lit(1)).as("n")).collect()(0))
-      val srcFp =
-        if (fpRow.isNullAt(0)) "empty"
-        else fpRow.getDecimal(0).toBigInteger.toString(16).takeRight(16)
+      // ONE planning job: per-cell counts + content-fingerprint partials.
+      // The fingerprint makes the pass id resume-safe (a crashed merge
+      // re-run with a different source gets a fresh pass id and never
+      // reuses stale staged output — ADVICE r1 #1); the cells drive
+      // touched-file stabbing and insert sizing.
+      val (cellChars, statsOpt) = timed("cellStats")(cellStats(src))
+      val (srcFp, cells) = statsOpt match {
+        case Some(st) =>
+          val fp = st.map(s => Option(s.fp).map(_.toBigInteger)
+              .getOrElse(java.math.BigInteger.ZERO))
+            .foldLeft(java.math.BigInteger.ZERO)(_.add(_))
+          (if (st.isEmpty) "empty" else fp.toString(16).takeRight(16),
+            Some(st.map(_.cell).toArray))
+        case None =>
+          // > CellCap distinct cells even at 3 bytes: fingerprint in a
+          // fallback job, all files treated as touched
+          val fpRow = src.agg(
+            sum(xxhash64(col("doc_id"), col(opCol), col("n_tok"), col("tokens"))
+              .cast("decimal(38,0)")).as("fp")).collect()(0)
+          (if (fpRow.isNullAt(0)) "empty"
+           else fpRow.getDecimal(0).toBigInteger.toString(16).takeRight(16),
+            None)
+      }
       val passId = s"merge-v${snap.version}-$srcFp"
 
-      val (cellChars, cells) = timed("keyCells")(keyCells(src.select("doc_id")))
       val touched = cells match {
         case Some(cs) => files.filter { f =>
           val (lo, hi) = spanOf(f, cellChars); anyCellIn(cs, lo, hi)
@@ -395,10 +436,18 @@ object Merge {
         }
       }}
 
-      // insert unit: keys outside every touched range; deletes are no-ops
+      // insert unit: keys outside every touched range; deletes are no-ops.
+      // Row count comes from the cell summary (no extra count job): sum of
+      // non-delete rows over cells outside every unit range.
       val insDF = src.filter(unitOf === -1 && col(opCol) =!= "delete")
         .select("doc_id", "tokens", "n_tok", "source")
-      val insRows = timed("insert-count")(insDF.count())
+      def outsideUnits(cell: Long): Boolean =
+        !units.exists(u => u.lo <= cell && cell <= u.hi)
+      val insRows = statsOpt match {
+        case Some(st) => st.iterator.filter(s => outsideUnits(s.cell))
+          .map(_.nUpserts).sum
+        case None => timed("insert-count")(insDF.count())
+      }
       val insOut: Option[Path] =
         if (insRows == 0) None
         else done.get("inserts") match {

@@ -26,8 +26,18 @@ object StreamOps {
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
+  /** Sentinel event type used to push the watermark past the last real
+    * window (filtered out of the result). */
+  private val Sentinel = "__graft_watermark_sentinel"
+
   /** Windowed count per (1-day event-time window, event_type), computed by
-    * an actual streaming query over the parquet file source. */
+    * an actual streaming query over the parquet file source in APPEND
+    * mode — the 1-hour watermark genuinely closes windows and EVICTS their
+    * state (complete mode would keep every window forever, voiding the
+    * "watermark bounds the state store" scale property — ADVICE r1). A
+    * sentinel far-future event is fed as a second micro-batch so the
+    * watermark passes the final real window; temp dir and memory-sink
+    * table are dropped after the (small) result is materialized. */
   def windowedCounts(s: SparkSession, dir: String): DataFrame = {
     val name = "s01_" + java.util.UUID.randomUUID().toString.replace("-", "")
     // the streaming file source wants a DIRECTORY it can watch; stage the
@@ -49,15 +59,36 @@ object StreamOps {
       .groupBy(window(col("ts"), "1 day"), col("event_type"))
       .agg(count(lit(1)).as("n"))
     val q = stream.writeStream
-      .outputMode("complete")
+      .outputMode("append")
       .format("memory")
       .queryName(name)
       .start()
-    try q.processAllAvailable() finally q.stop()
-    s.table(name)
+    try {
+      q.processAllAvailable()
+      // second micro-batch: one sentinel event far in the future advances
+      // the watermark so every real window closes and is emitted
+      import s.implicits._
+      Seq((Long.MaxValue, "3000-01-01 00:00:00", 0L, Sentinel, 0.0, "{}"))
+        .toDF("event_id", "ts_s", "user_id", "event_type", "value", "props")
+        .select(col("event_id"), col("ts_s").cast("timestamp_ntz").as("ts"),
+          col("user_id"), col("event_type"), col("value"), col("props"))
+        .coalesce(1).write.mode("append").parquet(streamDir.toString)
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = s.table(name)
+      .filter(col("event_type") =!= Sentinel)
       .select(col("window.start").cast("string").as("win_start"),
         col("event_type"), col("n"))
       .orderBy("win_start", "event_type")
+      .collect()
+    val out = s.createDataFrame(
+      java.util.Arrays.asList(rows: _*),
+      StructType(Seq(StructField("win_start", StringType),
+        StructField("event_type", StringType), StructField("n", LongType))))
+    // cleanup: drop the memory-sink table and the staged stream dir
+    s.catalog.dropTempView(name)
+    org.apache.commons.io.FileUtils.deleteQuietly(streamDir.toFile)
+    out.orderBy("win_start", "event_type")
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

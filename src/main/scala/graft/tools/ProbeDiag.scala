@@ -29,6 +29,7 @@ object ProbeDiag {
       .config("spark.sql.parquet.compression.codec", "zstd")
       .config("spark.sql.shuffle.partitions", cpus.toString)
       .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.locality.wait", "0ms")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")

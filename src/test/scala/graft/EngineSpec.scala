@@ -175,6 +175,34 @@ class EngineSpec extends SparkTestBase {
     assert(fingerprint(fused) === fingerprint(smj))
   }
 
+  test("replacePartitions swaps exactly the written source partitions") {
+    val t = TokenTable.create(tmpDir("graft-replace"), spark)
+    t.append(Synth.table(spark, 8000, 42L, 16, 128), targetFileCount = 24, nowMs = 1L)
+    val before = t.scan()._1.cache()
+    val untouchedFp = fingerprint(before.filter(col("source") =!= "code"))
+    // replacement payload for ONE partition: code rows with doubled tokens
+    val replacement = before.filter(col("source") === "code")
+      .withColumn("tokens", transform(col("tokens"), x => x * 2))
+    val replCount = replacement.count()
+    val snap = t.replacePartitions(replacement, targetFileCount = 4, nowMs = 2L)
+    assert(snap.operation === "replace_partitions")
+    assert(snap.summary("replaced-partitions") === "code")
+    val after = t.scan()._1
+    // untouched sources byte-identical; replaced partition carries new rows
+    assert(fingerprint(after.filter(col("source") =!= "code")) === untouchedFp)
+    assert(fingerprint(after.filter(col("source") === "code")) ===
+      fingerprint(replacement))
+    assert(after.filter(col("source") === "code").count() === replCount)
+    assert(after.select("doc_id").distinct().count() === after.count())
+    // old code-partition files are gone from the live snapshot
+    assert(!t.log.dataFiles(t.log.current().get)
+      .filter(_.partition.get("source").contains("code"))
+      .exists(f => t.log.dataFiles(t.log.snapshot(snap.version - 1))
+        .filter(_.partition.get("source").contains("code"))
+        .map(_.path).contains(f.path)))
+    before.unpersist()
+  }
+
   test("snapshot expire GCs exactly the unreachable files") {
     import scala.jdk.CollectionConverters._
     val log = table.log
