@@ -43,6 +43,7 @@ object Maintain {
       .config("spark.hadoop.parquet.writer.version", "v2")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.sources.parallelPartitionDiscovery.threshold", "8192")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.execution.rangeExchange.sampleSizePerPartition", "400")
       .config("spark.ui.enabled", "false")

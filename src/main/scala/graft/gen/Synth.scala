@@ -82,11 +82,44 @@ object Synth {
    * pointers, materialize payloads post-exchange" — it shrinks exchange
    * bytes by the payload factor (~100x here) and range-sampling never
    * evaluates the arrays at all.
+   *
+   * The (source, doc_id-range) boundaries are ANALYTIC, not sampled: the
+   * doc_id prefix is a uniform hex hash by construction and the source
+   * distribution is the known CDF, so bins per source ∝ source probability
+   * and uniform cuts of the 7-hex-char prefix space give balanced files
+   * with zero sampling jobs — `repartitionByRange` would execute the
+   * generator twice (reservoir-sample pass + exchange) and vary layout
+   * with the core count (ADVICE r2 #2 pattern).
    */
   def tableDistributed(spark: SparkSession, rows: Long, seed: Long = 42L,
       files: Int = 256, minTok: Int = 16, maxTok: Int = 2048): DataFrame = {
+    import graft.maint.ExactPartition
+    import graft.functions.RangeBin
+    val space = 1L << 28 // 16^7 values of the 7-hex-char doc_id prefix
+    val widths = sourceCdf.zip(0 +: sourceCdf.map(_._2).init)
+      .map { case ((label, cum), prev) => (label, cum - prev) }
+    val nOf = widths.map { case (label, w) =>
+      (label, math.max(1, math.round(files * w / 1000.0).toInt)) }
+    val total = nOf.map(_._2).sum
+    val pkeys = ExactPartition.keys(total)
+    val hexv = conv(substring(col("doc_id"), 1, 7), 16, 10).cast("long")
+    var base = 0
+    val pieces = nOf.map { case (label, n) =>
+      val bounds = Array.tabulate(n - 1)(k => (k + 1).toLong * space / n)
+      val piece = (label, base, bounds)
+      base += n
+      piece
+    }
+    val binCol = pieces.foldLeft(lit(pkeys(0)): Column) {
+      case (acc, (label, b0, bounds)) =>
+        when(col("source") === label,
+          RangeBin.bin(hexv, bounds, pkeys.slice(b0, b0 + bounds.length + 1)))
+          .otherwise(acc)
+    }
     val narrow = tableNarrow(spark, rows, seed, minTok, maxTok)
-      .repartitionByRange(files, col("source"), col("doc_id"))
+      .withColumn("__bk", binCol)
+      .repartition(total, col("__bk"))
+      .drop("__bk")
     withTokens(narrow, seed).select("doc_id", "tokens", "n_tok", "source")
   }
 

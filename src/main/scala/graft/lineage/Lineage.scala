@@ -70,4 +70,35 @@ final class LineageLog(root: String) {
     * delete them. */
   def stagedDirs(): Set[String] =
     passes().flatMap(records).flatMap(_.filesOut).toSet
+
+  /** Base snapshot version encoded in a pass id ("compact-v12",
+    * "merge-v5-<fp>", ...). */
+  def baseVersionOf(passId: String): Option[Long] =
+    LineageLog.BaseV.findFirstMatchIn(passId).map(_.group(1).toLong)
+
+  /**
+   * GC lineage logs that can never drive a resume (ADVICE r2 #3: without
+   * this, staged output of abandoned passes is protected forever and the
+   * orphan classes the sweep exists for still accumulate unbounded).
+   *
+   * A pass resumes only under its original pass id, which is derived from
+   * the CURRENT snapshot version at (re)invocation — so a log whose base
+   * version is behind `currentVersion` belongs to a pass that either
+   * already committed (its output is live and stays protected via the
+   * manifests) or was abandoned (its staged dirs become sweepable once the
+   * log is gone). Logs younger than `cutoffMs` (mtime) are kept: an
+   * in-flight pass racing a concurrent commit may briefly run with an
+   * older base and must keep its crash-resume record. Returns pruned ids.
+   */
+  def prune(currentVersion: Long, cutoffMs: Long): Seq[String] =
+    passes().filter { id =>
+      baseVersionOf(id).exists(_ < currentVersion) && {
+        val p = logPath(id)
+        Files.exists(p) && Files.getLastModifiedTime(p).toMillis <= cutoffMs
+      }
+    }.map { id => Files.deleteIfExists(logPath(id)); id }
+}
+
+object LineageLog {
+  private val BaseV = "-v(\\d+)(?:-|$)".r
 }

@@ -23,6 +23,20 @@ object Expire {
       deletedDataFiles: Seq[String],
       deletedManifests: Seq[String])
 
+  /** Driver-side deletes through a bounded thread pool (VERDICT r2 #5
+    * polish): serial unlink of 10^5+ dead files is O(minutes) of driver
+    * wall time; 16-way parallelism tracks the filesystem's metadata
+    * throughput. Order within a class does not matter for crash safety —
+    * only the class order (data, manifests, snapshots) does. */
+  private def deleteAll(paths: Seq[Path], parallelism: Int = 16): Unit = {
+    if (paths.size <= 4) { paths.foreach(Files.deleteIfExists); return }
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(parallelism)
+    try paths.map(p => pool.submit(new Runnable {
+      def run(): Unit = { Files.deleteIfExists(p); () }
+    })).foreach(_.get())
+    finally pool.shutdown()
+  }
+
   /** Keep the newest `retain` snapshots; GC everything reachable only from
     * the expired ones. Metadata-only — no row data is read. */
   def run(table: TokenTable, retain: Int): Report = {
@@ -52,11 +66,9 @@ object Expire {
     // Deletion order is crash-safe: data first, then manifests, then
     // snapshot files — a crash mid-GC leaves dangling metadata pointing at
     // deleted files only in already-expired snapshots, never in retained.
-    deadData.foreach(p => Files.deleteIfExists(log.absolute(p)))
-    deadManifests.foreach(p => Files.deleteIfExists(log.absolute(p)))
-    expired.foreach { v =>
-      Files.deleteIfExists(Paths.get(log.root, "meta", f"v$v%08d.json"))
-    }
+    deleteAll(deadData.map(log.absolute))
+    deleteAll(deadManifests.map(log.absolute))
+    deleteAll(expired.map(v => Paths.get(log.root, "meta", f"v$v%08d.json")))
     // sweep now-empty data subdirs (cosmetic)
     SnapshotLog.list(log.dataDir).filter(Files.isDirectory(_)).foreach { d =>
       SnapshotLog.walk(d).reverse.filter(Files.isDirectory(_))
@@ -83,6 +95,11 @@ object Expire {
       nowMs: Long = System.currentTimeMillis()): OrphanReport = {
     val log = table.log
     val snaps = log.versions().map(log.snapshot)
+    // first GC lineage logs that can never resume (base version behind
+    // current, older than the grace window) — their staged dirs then stop
+    // being "protected forever" and fall through to this sweep
+    snaps.lastOption.foreach(cur =>
+      new LineageLog(log.root).prune(cur.version, nowMs - graceMs))
     val liveManifests = snaps.flatMap(_.manifestList.map(_.path)).toSet
     val liveData = snaps
       .flatMap(s => s.manifestList.flatMap(m => log.readManifest(m).entries))
@@ -109,9 +126,9 @@ object Expire {
       .filter(p => p.getFileName.toString.startsWith(".tmp-") && old(p))
       .map(log.relativize)
 
-    deadData.foreach(p => Files.deleteIfExists(log.absolute(p)))
-    deadManifests.foreach(p => Files.deleteIfExists(log.absolute(p)))
-    tmps.foreach(p => Files.deleteIfExists(log.absolute(p)))
+    deleteAll(deadData.map(log.absolute))
+    deleteAll(deadManifests.map(log.absolute))
+    deleteAll(tmps.map(log.absolute))
     OrphanReport(deadData, deadManifests, tmps)
   }
 

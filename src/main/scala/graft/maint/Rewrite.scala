@@ -1,7 +1,6 @@
 package graft.maint
 
-import java.nio.file.{Files, Path}
-import scala.jdk.CollectionConverters._
+import java.nio.file.Path
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -61,10 +60,13 @@ object ExactPartition {
   def keys(n: Int): Array[Int] = Array.tabulate(n)(keyFor(_, n))
 }
 
-/** Bounded concurrent execution of per-partition maintenance units. Each
+/** Bounded concurrent execution of per-group maintenance units. Each
   * unit is one Spark job; submitting several keeps all executor slots busy
-  * when individual partitions are smaller than the cluster (Spark's
-  * scheduler interleaves their stages). Order of results is preserved. */
+  * when individual groups are smaller than the cluster (Spark's scheduler
+  * interleaves their stages). Order of results is preserved. Fail-fast
+  * (ADVICE r2 #5): the first failing unit cancels the rest and its cause
+  * is rethrown UNWRAPPED, so callers can match on exception type (e.g.
+  * CommitConflictException). */
 object Concurrency {
   def mapUnits[A, B](units: Seq[A], maxConcurrent: Int = 8)(f: A => B): Seq[B] = {
     if (units.size <= 1) return units.map(f)
@@ -73,7 +75,12 @@ object Concurrency {
     try {
       val futs = units.map(u => pool.submit(
         new java.util.concurrent.Callable[B] { def call(): B = f(u) }))
-      futs.map(_.get())
+      try futs.map(_.get())
+      catch {
+        case e: java.util.concurrent.ExecutionException =>
+          pool.shutdownNow() // cancel outstanding units on first failure
+          throw Option(e.getCause).getOrElse(e)
+      }
     } finally pool.shutdown()
   }
 }
@@ -83,15 +90,33 @@ final case class RewriteConfig(
     /** files smaller than this are compaction victims (default 3/4 target) */
     minFileBytes: Long = -1,
     /** zkey | hilbert | docid | none */
-    sortBy: String = "docid") {
+    sortBy: String = "docid",
+    /** ~input bytes per Spark job (resume/checkpoint granularity). One job
+      * per `jobGroupBytes` of input balances the two pressures: few jobs
+      * (the local-mode serial floor is ~1 s of dispatch+planning per job —
+      * BASELINE.md measurement discipline #3) against bounded loss on
+      * crash-resume (a died job re-runs at most this many bytes). Default
+      * 64 × targetFileBytes. */
+    jobGroupBytes: Long = -1) {
   def minBytes: Long = if (minFileBytes > 0) minFileBytes else targetFileBytes * 3 / 4
+  def groupBytes: Long = if (jobGroupBytes > 0) jobGroupBytes else targetFileBytes * 64
 }
 
 /**
  * The two data-rewriting maintenance passes. Both are resumable: work is
  * keyed by a deterministic pass id (operation + base snapshot version);
- * each partition unit stages files then logs `done`; the snapshot commit
- * happens once at the end from the union of done units (SURVEY.md §7.4).
+ * each job group stages files then logs `done`; the snapshot commit
+ * happens once at the end from the union of done groups (SURVEY.md §7.4).
+ *
+ * Job-count doctrine (VERDICT r2 next-step 4 + BASELINE.md discipline #3):
+ * round 2 ran one Spark job per table partition — 12 jobs for compact, 24
+ * (sample+write) for cluster — and the ~1 s/job serial floor capped
+ * scaling efficiency well under the 0.8 gate. Both passes now plan
+ * DRIVER-SIDE into deterministic job GROUPS of ~`jobGroupBytes` input
+ * each: the whole pass is a handful of jobs at bench scale but still
+ * splits into bounded, resumable, concurrently-scheduled units when the
+ * table is large relative to the group size (the 100-TB shape: thousands
+ * of groups, each one job, streaming through the bounded pool).
  */
 object Rewrite {
 
@@ -113,15 +138,29 @@ object Rewrite {
       case _ => None
     }
 
-  /** input_file_name() yields a URI; normalize to a bare path for map keys. */
-  private def fileKey: org.apache.spark.sql.Column =
-    regexp_replace(input_file_name(), "^[a-zA-Z0-9+.-]+:/+", "/")
+  /** Greedy grouping of work items into job groups of ~groupBytes input.
+    * Items must arrive in a deterministic order — group membership (hence
+    * lineage unit keys) is a pure function of the item sequence. */
+  private def groupBy[A](items: Seq[A], groupBytes: Long)(bytes: A => Long): Seq[Seq[A]] = {
+    val groups = scala.collection.mutable.ArrayBuffer.empty[Seq[A]]
+    val cur = scala.collection.mutable.ArrayBuffer.empty[A]
+    var acc = 0L
+    for (it <- items) {
+      if (cur.nonEmpty && acc + bytes(it) > groupBytes) {
+        groups += cur.toSeq; cur.clear(); acc = 0L
+      }
+      cur += it; acc += bytes(it)
+    }
+    if (cur.nonEmpty) groups += cur.toSeq
+    groups.toSeq
+  }
 
   /**
    * Bin-packing compaction. Victims = files under cfg.minBytes, packed FFD
-   * per partition; each bin is shuffled to exactly one output task (see
-   * ExactPartition) and locally sorted by cfg.sortBy. Unaffected files and
-   * manifests are carried through untouched.
+   * per partition; bins are grouped into ~`cfg.groupBytes` Spark jobs; in
+   * each job every bin is shuffled to exactly one output task (see
+   * ExactPartition / FileBin) and locally sorted by cfg.sortBy. Unaffected
+   * files and manifests are carried through untouched.
    */
   def compact(table: TokenTable, spark: SparkSession,
       cfg: RewriteConfig = RewriteConfig(), nowMs: Long = 0L): Snapshot = {
@@ -133,58 +172,56 @@ object Rewrite {
 
     val byPartition = files.groupBy(_.partition.getOrElse("source", ""))
     // victims: small files; a partition needs ≥2 victims to gain anything
-    val work: Map[String, Seq[Bin]] = byPartition.flatMap { case (p, fs) =>
+    val allBins: Seq[Bin] = byPartition.toSeq.sortBy(_._1).flatMap { case (p, fs) =>
       val victims = fs.filter(_.bytes < cfg.minBytes)
-      if (victims.size < 2) None
-      else {
-        val bins = Packer.ffd(p, victims, cfg.targetFileBytes)
-          .filter(_.files.size >= 2) // singleton bin = pointless rewrite
-        if (bins.isEmpty) None else Some(p -> bins)
-      }
+      if (victims.size < 2) Seq.empty
+      else Packer.ffd(p, victims, cfg.targetFileBytes)
+        .filter(_.files.size >= 2) // singleton bin = pointless rewrite
     }
+    if (allBins.isEmpty) return snap // nothing to do — no empty commits
 
+    val groups = groupBy(allBins, cfg.groupBytes)(_.bytes).zipWithIndex
     val done = lin.completed(passId)
-    // per-partition units run as CONCURRENT Spark jobs (bounded pool):
-    // within one partition the job parallelizes over its bins; across
-    // partitions concurrency keeps the cluster saturated when individual
-    // partitions are small (the scheduler interleaves their stages)
-    val staged = Concurrency.mapUnits(work.toSeq.sortBy(_._1)) { case (p, bins) =>
-      done.get(p) match {
-        case Some(rec) =>
-          (p, bins, table.log.absolute(rec.filesOut.head))
+    val staged = Concurrency.mapUnits(groups) { case (bins, gi) =>
+      val key = s"g$gi"
+      done.get(key) match {
+        case Some(rec) => (bins, table.log.absolute(rec.filesOut.head))
         case None =>
           val out = rewriteBins(table, spark, bins, cfg.sortBy, dict)
-          lin.append(LineageRecord(passId, "compact", p, "done",
+          lin.append(LineageRecord(passId, "compact", key, "done",
             bins.iterator.map(_.files.size).sum,
             Seq(table.log.relativize(out)),
             bins.iterator.map(_.rows).sum, bins.iterator.map(_.bytes).sum, 1))
-          (p, bins, out)
+          (bins, out)
       }
     }
 
-    if (staged.isEmpty) return snap // nothing to do — no empty commits
-    val removed = staged.flatMap(_._2).flatMap(_.files).map(_.path).toSet
-    table.commitRewrite(removed, staged.map(_._3).toSeq, nowMs, "compact",
+    val removed = staged.flatMap(_._1).flatMap(_.files).map(_.path).toSet
+    table.commitRewrite(removed, staged.map(_._2).toSeq, nowMs, "compact",
       Map("source-dict" -> dict.mkString(","),
-        "bins" -> staged.map(_._2.size).sum.toString,
+        "bins" -> allBins.size.toString,
         "pass-id" -> passId))
   }
 
-  /** Rewrite one partition's bins: each bin → exactly one output file. */
+  /** Rewrite one job group's bins (possibly spanning table partitions —
+    * partitionBy(p_source) routes rows back to their hive dirs): ONE Spark
+    * job; each bin → exactly one output task → one file per source in the
+    * bin (bins are partition-pure, so exactly one). */
   private def rewriteBins(table: TokenTable, spark: SparkSession,
       bins: Seq[Bin], sortBy: String, dict: Seq[String]): Path = {
     val nBins = bins.size
     val binKeys = ExactPartition.keys(nBins)
-    // file path -> exact-placement key of its bin
+    // file basename -> exact-placement key of its bin: O(1) hash lookup in
+    // a codegen'd expression (graft.functions.FileBin) — constant per-row
+    // cost at any victim-file count (VERDICT r2 "What's wrong" #3 replaced
+    // a per-row LINEAR scan of a 2·B-entry map literal)
     val pairs = bins.zipWithIndex.flatMap { case (b, i) =>
-      b.files.flatMap(f => Seq(lit(table.log.absolute(f.path).toString),
-        lit(binKeys(i))))
+      b.files.map(f => f.path -> binKeys(i))
     }
-    val binOf = map(pairs: _*)
     val paths = bins.flatMap(_.files).map(f => table.log.absolute(f.path).toString)
     val out = table.log.newDataSubdir()
     val base = spark.read.schema(TokenRow.schema).parquet(paths: _*)
-      .withColumn("__bk", element_at(binOf, fileKey))
+      .withColumn("__bk", graft.functions.FileBin.bin(input_file_name(), pairs))
       .repartition(nBins, col("__bk"))
     val sorted = sortColumn(sortBy, dict) match {
       case Some(c) => base.withColumn("__sk", c)
@@ -198,11 +235,18 @@ object Rewrite {
   }
 
   /**
-   * Clustering rewrite: globally range-partition each table partition by
-   * the Z-order (or Hilbert) key and rewrite into ~targetFileBytes files.
-   * This is the physical heart of the pass: repartitionByRange + sort
-   * within partitions (SURVEY.md §2.6 O5), entirely builtin exchange +
-   * sort — Catalyst/Tungsten handle spill and codegen.
+   * Clustering rewrite: range-partition each table partition by the
+   * Z-order (or Hilbert) key and rewrite into ~targetFileBytes files.
+   *
+   * Two jobs at bench scale (was 2 × nPartitions in round 2):
+   *  1. ONE deterministic narrow sample job over every partition at once —
+   *     reads only (source, key columns); parquet column pruning never
+   *     decodes the token arrays; rows are picked by a hash of doc_id so
+   *     the sample (hence boundaries, hence file layout) is identical at
+   *     every parallelism level;
+   *  2. write jobs in ~groupBytes groups of whole partitions: a composite
+   *     when(source)/RangeBin bin column places every row in exactly one
+   *     output task; sortWithinPartitions finishes the clustering.
    */
   def cluster(table: TokenTable, spark: SparkSession,
       cfg: RewriteConfig = RewriteConfig(sortBy = "zkey"), nowMs: Long = 0L): Snapshot = {
@@ -214,59 +258,100 @@ object Rewrite {
     val lin = new LineageLog(table.root)
 
     val byPartition = files.groupBy(_.partition.getOrElse("source", ""))
+      .toSeq.sortBy(_._1).filter(_._2.nonEmpty)
+    if (byPartition.isEmpty) return snap
     val done = lin.completed(passId)
 
-    val staged = Concurrency.mapUnits(
-      byPartition.toSeq.sortBy(_._1).filter(_._2.nonEmpty)) { case (p, fs) =>
-      done.get(p) match {
+    val key = sortColumn(cfg.sortBy, dict).getOrElse(col("doc_id"))
+    val binSrc: Column = cfg.sortBy match {
+      case "zkey" | "hilbert" => key
+      case _ => graft.functions.PrefixCode.code(col("doc_id"), 7)
+    }
+
+    // --- job 1: one stratified deterministic sample over ALL partitions.
+    // Per-source modulus targets ~200 samples per output file; the filter
+    // is a pure function of (doc_id, per-source row counts) so boundaries
+    // never depend on the core count.
+    val perSource: Seq[(String, Seq[DataFile], Int, Long)] =
+      byPartition.map { case (p, fs) =>
+        val bytes = fs.map(_.bytes).sum
+        val nOut = math.max(1, math.ceil(bytes.toDouble / cfg.targetFileBytes).toInt)
+        val totalRows = math.max(1L, fs.map(_.rows).sum)
+        val mod = math.max(1L, totalRows / math.min(100000L, 200L * nOut))
+        (p, fs, nOut, mod)
+      }
+    val groups = groupBy(perSource, cfg.groupBytes)(_._2.map(_.bytes).sum)
+    val needSample = groups // sources in not-yet-done groups that range-split
+      .filter(grp => !done.contains(s"g-of-${grp.head._1}"))
+      .flatten.filter(_._3 > 1)
+    val boundsBySource: Map[String, Array[Long]] =
+      if (needSample.isEmpty) Map.empty
+      else {
+        val allPaths = needSample.flatMap(_._2)
+          .map(f => table.log.absolute(f.path).toString)
+        val modOf = needSample.foldLeft(lit(Long.MaxValue): Column) {
+          case (acc, (p, _, _, mod)) => when(col("source") === p, lit(mod)).otherwise(acc)
+        }
+        val sampled = spark.read.schema(TokenRow.schema).parquet(allPaths: _*)
+          .filter(pmod(xxhash64(col("doc_id"), lit(7777L)), modOf) === 0)
+          .select(col("source"), binSrc.cast("long").as("sk"))
+          .collect()
+        val bySrc = sampled.groupBy(_.getString(0))
+        needSample.map { case (p, _, nOut, _) =>
+          val sample = bySrc.getOrElse(p, Array.empty).map(_.getLong(1))
+          p -> graft.functions.Boundaries.fromSample(sample, nOut)
+        }.toMap
+      }
+
+    // --- job 2..k: grouped whole-partition rewrites
+    val staged = Concurrency.mapUnits(groups) { grp =>
+      val gKey = s"g-of-${grp.head._1}"
+      done.get(gKey) match {
         case Some(rec) =>
-          (p, fs, table.log.absolute(rec.filesOut.head))
+          (grp.flatMap(_._2), table.log.absolute(rec.filesOut.head))
         case None =>
-          val bytes = fs.map(_.bytes).sum
-          val nOut = math.max(1, math.ceil(bytes.toDouble / cfg.targetFileBytes).toInt)
-          val paths = fs.map(f => table.log.absolute(f.path).toString)
-          val out = table.log.newDataSubdir()
-          val key = sortColumn(cfg.sortBy, dict).getOrElse(col("doc_id"))
-          // Driver-side range boundaries from a DETERMINISTIC narrow
-          // sample: the sampling job reads only (source, n_tok, doc_id) —
-          // parquet column pruning never decodes the token arrays — and
-          // filters on a hash of doc_id, so boundaries (hence file layout)
-          // are identical at every parallelism level. This replaces
-          // repartitionByRange's sampled exchange, which executes the full
-          // child twice and which round 1 papered over with a whole-data
-          // persist (VERDICT r1 "What's wrong" #3): now ONE pass over the
-          // full rows, no cache, deterministic output.
-          val totalRows = math.max(1L, fs.map(_.rows).sum)
-          val mod = math.max(1L, totalRows / math.min(100000L, 200L * nOut))
-          val binSrc: Column = cfg.sortBy match {
-            case "zkey" | "hilbert" => key
+          val paths = grp.flatMap(_._2).map(f => table.log.absolute(f.path).toString)
+          // composite bin: per-source RangeBin over disjoint key slices.
+          // The bin input REFERENCES the precomputed __sk column — inlining
+          // the zkey expression into all 12 when-branches blows Janino's
+          // 64 KB method limit and drops the stage out of codegen.
+          var base = 0
+          val pieces = grp.map { case (p, _, _, _) =>
+            val bnds = boundsBySource.getOrElse(p, Array.empty[Long])
+            val piece = (p, base, bnds)
+            base += bnds.length + 1
+            piece
+          }
+          val pkeys = ExactPartition.keys(base)
+          val binRef: Column = cfg.sortBy match {
+            case "zkey" | "hilbert" => col("__sk")
             case _ => graft.functions.PrefixCode.code(col("doc_id"), 7)
           }
-          val sample = spark.read.schema(TokenRow.schema).parquet(paths: _*)
-            .filter(pmod(xxhash64(col("doc_id"), lit(7777L)), lit(mod)) === 0)
-            .select(binSrc.cast("long").as("sk"))
-            .collect().map(_.getLong(0))
-          val bounds = graft.functions.Boundaries.fromSample(sample, nOut)
-          val pkeys = ExactPartition.keys(bounds.length + 1)
+          val binCol = pieces.foldLeft(lit(pkeys(0)): Column) {
+            case (acc, (p, b0, bnds)) =>
+              when(col("source") === p, graft.functions.RangeBin.bin(
+                binRef, bnds, pkeys.slice(b0, b0 + bnds.length + 1)))
+                .otherwise(acc)
+          }
+          val out = table.log.newDataSubdir()
           spark.read.schema(TokenRow.schema).parquet(paths: _*)
             .withColumn("__sk", key)
-            .withColumn("__bk", graft.functions.RangeBin.bin(
-              (if (cfg.sortBy == "zkey" || cfg.sortBy == "hilbert") col("__sk")
-               else binSrc), bounds, pkeys))
-            .repartition(bounds.length + 1, col("__bk"))
+            .withColumn("__bk", binCol)
+            .repartition(base, col("__bk"))
             .sortWithinPartitions(col("__sk"))
             .drop("__sk", "__bk")
             .withColumn("p_source", col("source"))
             .write.partitionBy("p_source").parquet(out.toString)
-          lin.append(LineageRecord(passId, op, p, "done", fs.size,
-            Seq(table.log.relativize(out)), fs.map(_.rows).sum, bytes, 1))
-          (p, fs, out)
+          lin.append(LineageRecord(passId, op, gKey, "done",
+            grp.map(_._2.size).sum, Seq(table.log.relativize(out)),
+            grp.flatMap(_._2).map(_.rows).sum,
+            grp.flatMap(_._2).map(_.bytes).sum, 1))
+          (grp.flatMap(_._2), out)
       }
     }
 
-    if (staged.isEmpty) return snap
-    val removed = staged.flatMap(_._2).map(_.path).toSet
-    table.commitRewrite(removed, staged.map(_._3).toSeq, nowMs, op,
+    val removed = staged.flatMap(_._1).map(_.path).toSet
+    table.commitRewrite(removed, staged.map(_._2).toSeq, nowMs, op,
       Map("source-dict" -> dict.mkString(","), "pass-id" -> passId))
   }
 }

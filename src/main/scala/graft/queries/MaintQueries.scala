@@ -67,8 +67,11 @@ object MaintQueries {
     t
   }
 
-  /** m02's manifest dump location — the oracle reads the sf0.01 one (the
-    * driver's correctness pass always runs at sf0.01). */
+  /** m02's manifest dump location, keyed by the input dir. The oracle SQL
+    * names the same path via the `{SF_DIR}` placeholder, which Verify
+    * substitutes with the ACTUAL run dir at dump time (ADVICE r2 #4: a
+    * hard-coded sf0.01 path would silently compare against a stale dump if
+    * the driver ever ran another scale factor). */
   def manifestDumpPath(dir: String): String =
     s"/tmp/graft_oracle/${dir.replace('/', '_')}/m02_manifest.parquet"
 
@@ -213,8 +216,10 @@ object MaintQueries {
         .orderBy("kind")
     }))
 
+  /** `{SF_DIR}` survives manifestDumpPath's '/'-mangling untouched;
+    * Verify rewrites it to the actual run dir when dumping oracle_sql. */
   private val m02OracleDump =
-    manifestDumpPath("/root/testdata/sf0.01")
+    manifestDumpPath("{SF_DIR}")
 
   val oracle: Map[String, String] = Map(
     "m01_compact" -> oracleFacts("documents"),

@@ -63,4 +63,75 @@ class MediaSpec extends SparkTestBase {
     assert(f1.map(_.features.toSeq).toSeq === f2.map(_.features.toSeq).toSeq)
     assert(f1.forall(_.features.length === 8))
   }
+
+  /** Deterministic real PNG bytes: w×h image filled from a hash. */
+  private def pngBytes(w: Int, h: Int, seed: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w)
+      img.setRGB(x, y, (x * 31 + y * 131 + seed) * 2654435761L.toInt & 0xffffff)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Deterministic real WAV bytes: 16-bit mono PCM square-ish wave. */
+  private def wavBytes(nFrames: Int, rateHz: Int, seed: Int): Array[Byte] = {
+    val pcm = new Array[Byte](nFrames * 2)
+    val bb = java.nio.ByteBuffer.wrap(pcm)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    for (i <- 0 until nFrames)
+      bb.putShort(i * 2, (((i * seed) % 200 - 100) * 300).toShort)
+    val fmt = new javax.sound.sampled.AudioFormat(rateHz.toFloat, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, nFrames.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  test("real image decode: JDK ImageIO recovers dims and channel means") {
+    import spark.implicits._
+    val rows = Seq(
+      Media.MediaRow("img-1", "image", pngBytes(17, 9, 7),
+        Media.MediaMeta(17, 9, 0, "raw")),
+      Media.MediaRow("img-2", "image", pngBytes(32, 32, 99),
+        Media.MediaMeta(32, 32, 0, "raw")))
+    val out = Media.extractFeatures(spark.createDataset(rows))
+      .orderBy("media_id").collect()
+    assert(out(0).features(0) === 17.0f) // width
+    assert(out(0).features(1) === 9.0f) // height
+    assert(out(0).features(7) === 1.0f) // real-image marker
+    assert(out(1).features(0) === 32.0f)
+    // decode is exact → repeatable across partitionings
+    val again = Media.extractFeatures(
+      spark.createDataset(rows).repartition(2)).orderBy("media_id").collect()
+    assert(out.map(_.features.toSeq).toSeq === again.map(_.features.toSeq).toSeq)
+  }
+
+  test("real audio decode: JDK WAV reader recovers duration and rate") {
+    import spark.implicits._
+    val rows = Seq(Media.MediaRow("aud-1", "audio", wavBytes(8000, 16000, 3),
+      Media.MediaMeta(0, 0, 500, "pcm")))
+    val out = Media.extractFeatures(spark.createDataset(rows)).collect()
+    assert(out(0).features(0) === 500.0f) // 8000 frames @16 kHz = 500 ms
+    assert(out(0).features(1) === 16000.0f) // sample rate
+    assert(out(0).features(2) === 1.0f) // channels
+    assert(out(0).features(7) === 2.0f) // real-audio marker
+    assert(out(0).features(3) > 0.0f) // RMS of a non-silent wave
+  }
+
+  test("undecodable payloads fall back to the deterministic stub") {
+    import spark.implicits._
+    val junk = Array.tabulate[Byte](64)(i => (i * 37).toByte)
+    val rows = Seq(
+      Media.MediaRow("x-img", "image", junk, Media.MediaMeta(1, 1, 0, "j2k")),
+      Media.MediaRow("x-vid", "video", junk, Media.MediaMeta(1, 1, 9, "av1")))
+    val out = Media.extractFeatures(spark.createDataset(rows))
+      .orderBy("media_id").collect()
+    val stub = new graft.media.StubCodec().decodeToFeatures(junk, 8)
+    assert(out(0).features.toSeq === stub.toSeq)
+    assert(out(1).features.toSeq === stub.toSeq)
+  }
 }

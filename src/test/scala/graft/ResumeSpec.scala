@@ -17,7 +17,10 @@ class ResumeSpec extends SparkTestBase {
     val t = TokenTable.create(root, spark)
     t.append(Synth.table(spark, 8000, 42L, 16, 256), targetFileCount = 40, nowMs = 1L)
     val v1 = t.log.currentVersion().get
-    val cfg = RewriteConfig(targetFileBytes = 1L * 1024 * 1024, sortBy = "docid")
+    // small job groups so the pass splits into SEVERAL lineage units —
+    // the resume below truncates to a strict subset of them
+    val cfg = RewriteConfig(targetFileBytes = 1L * 1024 * 1024, sortBy = "docid",
+      jobGroupBytes = 128L * 1024)
 
     // run the pass once to completion on a CLONE of the table to learn the
     // per-partition staged outputs, then simulate a crash on the real table
@@ -42,7 +45,7 @@ class ResumeSpec extends SparkTestBase {
     val passId = s"compact-v${t2.log.currentVersion().get - 1}"
     val lin = new LineageLog(root2)
     val recs = lin.records(passId)
-    assert(recs.nonEmpty)
+    assert(recs.size >= 2, s"want multiple resumable units, got ${recs.size}")
     // roll back the commit (as if the process died before publishing it)
     java.nio.file.Files.delete(
       java.nio.file.Paths.get(root2, "meta",
