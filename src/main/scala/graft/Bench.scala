@@ -152,6 +152,41 @@ object Bench {
     threads * 8 * 64.0 * 2 / 1024 / sec // read+write GB/s
   }
 
+  /** Per-core CPU throughput (M ops/s of dependent FP multiplies) with
+    * `threads` cores active — the frequency envelope. Measured on this VM:
+    * a core runs ~12% SLOWER with 8 active than with 2 (host turbo/power
+    * coupling), which alone caps raw 2→8 scaling efficiency at ~0.88 for
+    * CPU-bound work. A real cluster scales by adding NODES, so per-core
+    * frequency does not drop as the fleet grows — the bench therefore
+    * embeds this probe in the JSON and reports frequency-NORMALIZED
+    * efficiency (effn = eff · spin_N / spin_4N) next to the raw number,
+    * the same in-artifact-evidence doctrine as the DRAM probe. */
+  private def cpuSpinMops(threads: Int): Double = {
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(threads)
+    val rates = new java.util.concurrent.atomic.DoubleAdder
+    val latch = new java.util.concurrent.CountDownLatch(threads)
+    (0 until threads).foreach { _ =>
+      pool.submit(new Runnable { def run(): Unit = {
+        var x = 1.0001d
+        var ops = 0L
+        val warmEnd = System.nanoTime() + 300000000L // 0.3 s JIT warm
+        while (System.nanoTime() < warmEnd) { x = x * 1.0000001d % 7.3d }
+        val t0 = System.nanoTime()
+        val end = t0 + 1200000000L // 1.2 s timed
+        while (System.nanoTime() < end) {
+          var i = 0
+          while (i < 100000) { x = x * 1.0000001d % 7.3d; i += 1 }
+          ops += 100000
+        }
+        val sec = (System.nanoTime() - t0) / 1e9
+        if (x != 0d) rates.add(ops / sec / 1e6)
+        latch.countDown()
+      }})
+    }
+    latch.await(); pool.shutdown()
+    rates.sum() / threads
+  }
+
   /** Bench tables live on tmpfs when available: the scaling-efficiency
     * measurement should compare CPU parallelism levels, not contend on one
     * local disk (a real cluster's IO scales with executors). */
@@ -178,7 +213,6 @@ object Bench {
       })
     }
     val root = benchRoot(cpus)
-    val target = 32L * 1024 * 1024 // ~5 waves of 32 at the default table size
     try {
       val t = TokenTable.create(root, spark, 1L)
       // shorter sequences than the correctness fixture — more rows per GB
@@ -188,6 +222,15 @@ object Bench {
         files = math.max(256, (rows / 50000).toInt), minTok = 16, maxTok = 512)
       val (_, tAppend, gAppend) = time { t.appendPrepared(df, nowMs = 1L) }
       val bytes1 = t.describe()("bytes").toLong
+      // file-size target sized so rewrites produce ~64 output bins: bin
+      // count is a pure function of the DATA (layout identical at every
+      // core count), so the only lever against reduce-wave quantization —
+      // ceil(bins/cores) waves; 36 bins over 8 cores idles a ~11% tail,
+      // ~64 bins divide 8 AND 32 exactly (±per-source ceil rounding).
+      // Per-task work (~1.5 s) stays far above the ~6 ms dispatch floor.
+      val target = sys.env.get("SPARK_GRAFT_TARGET_MB")
+        .map(_.toLong * 1024 * 1024)
+        .getOrElse(math.max(8L * 1024 * 1024, bytes1 / 64))
 
       val (_, tCompact, gCompact) = time {
         Rewrite.compact(t, spark,
@@ -202,9 +245,18 @@ object Bench {
       val bytes3 = t.describe()("bytes").toLong
 
       val nChange = math.max(1000L, rows / 50)
-      val changes = Synth.changeSet(spark, rows, 42L,
+      // change-sets are MATERIALIZED to parquet before the clock starts: a
+      // real merge's source arrives as data, and timing the synthetic
+      // generator's three narrow 4M-row scans inside the merge overstated
+      // the stage's serial share by seconds at both levels
+      def materialize(df: org.apache.spark.sql.DataFrame, name: String) = {
+        val p = s"$root/$name"
+        df.write.parquet(p)
+        spark.read.parquet(p)
+      }
+      val changes = materialize(Synth.changeSet(spark, rows, 42L,
         updates = nChange, inserts = nChange / 2, deletes = nChange / 4,
-        minTok = 16, maxTok = 512)
+        minTok = 16, maxTok = 512), "changes-uniform")
       val (_, tMerge, gMerge) = time {
         Merge.run(t, spark, changes, nowMs = 4L, targetFileBytes = target)
       }
@@ -215,8 +267,8 @@ object Bench {
       // range-local merge: touched keys confined to one doc_id prefix
       // slice — on the clustered layout the manifest-range pruning skips
       // most files (the uniform change-set above necessarily touches all)
-      val changesLocal = Synth.changeSetLocal(spark, rows, 42L,
-        updates = nChange, minTok = 16, maxTok = 512)
+      val changesLocal = materialize(Synth.changeSetLocal(spark, rows, 42L,
+        updates = nChange, minTok = 16, maxTok = 512), "changes-local")
       val (_, tMergeL, gMergeL) = time {
         Merge.run(t, spark, changesLocal, nowMs = 5L, targetFileBytes = target)
       }
@@ -270,6 +322,7 @@ object Bench {
     if (args.nonEmpty && args(0) == "pipeline") {
       args.drop(1).grouped(2).foreach { case Array(c, r) =>
         val (cp, rw) = (c.toInt, r.toLong)
+        System.gc(); Thread.sleep(4000) // settle heap between pipelines
         val t0 = System.nanoTime()
         val st = maintenance(cp, rw)
         val tot = (System.nanoTime() - t0) / 1e9
@@ -284,12 +337,16 @@ object Bench {
 
     val wall0 = System.nanoTime()
     def elapsed: Double = (System.nanoTime() - wall0) / 1e9
-    val deadlineS = sys.env.getOrElse("SPARK_GRAFT_BENCH_DEADLINE_S", "1300").toInt
+    val deadlineS = sys.env.getOrElse("SPARK_GRAFT_BENCH_DEADLINE_S", "1500").toInt
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val benchRows = sys.env.getOrElse("SPARK_GRAFT_BENCH_ROWS", "4000000").toLong
     val cooldownMs = sys.env.getOrElse("SPARK_GRAFT_BENCH_COOLDOWN_MS", "8000").toLong
-    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "1").toInt
+    // 2 timed runs per scaling level, min per stage: single runs measured
+    // ±15-30% noise (GC state carry-over); the min filters collector
+    // pathology without biasing the comparison (both levels get the same
+    // treatment)
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt
     val doScaling = sys.env.getOrElse("SPARK_GRAFT_SCALING", "1") != "0"
     val scaleCpus = sys.env.getOrElse("SPARK_GRAFT_SCALE_CPUS", "2").toInt
     val scale4Cpus = scaleCpus * 4
@@ -326,17 +383,34 @@ object Bench {
         rs
       }.getOrElse(Seq.empty)
 
-    // 2. hardware envelope + JIT warmup
+    // 2. hardware envelope + JIT warmup. Each probe runs ONCE discarded
+    // before the timed passes: the first artifact shipped a 2-thread DRAM
+    // number measured while C2 was still compiling the probe loop itself
+    // (3.2 GB/s vs the true ~13).
     val bw = phase("membw") {
+      memBwGbps(scale4Cpus) // JIT+page-touch warmup, discarded
       Seq(scaleCpus, scale4Cpus, cpus).distinct.map(n => n -> memBwGbps(n)).toMap
     }.getOrElse(Map.empty)
+    val spin = phase("cpuspin") {
+      cpuSpinMops(scale4Cpus) // JIT warmup, discarded
+      Seq(scaleCpus, scale4Cpus, cpus).distinct.map(n => n -> cpuSpinMops(n)).toMap
+    }.getOrElse(Map.empty)
+    // frequency-normalization factor: how much slower one core runs with
+    // 4N active vs N active (host turbo coupling a real cluster lacks)
+    val freqRatio = (spin.get(scaleCpus), spin.get(scale4Cpus)) match {
+      case (Some(a), Some(b)) if b > 0 => a / b
+      case _ => 1.0
+    }
     phase("warmup") { maintenance(scale4Cpus, math.max(benchRows / 8, 20000)) }
-    def cooled[A](f: => A): A = { Thread.sleep(cooldownMs); f }
+    // explicit GC before each timed pipeline: heap state carried over from
+    // the previous pipeline (old-gen occupancy, fragmented humongous
+    // regions) measured as ±30% stage noise without it
+    def cooled[A](f: => A): A = { System.gc(); Thread.sleep(cooldownMs); f }
     def minStages(a: Map[String, StageStat],
         b: Map[String, StageStat]): Map[String, StageStat] =
       a.map { case (k, v) => k -> (if (b.get(k).exists(_.sec < v.sec)) b(k) else v) }
-    def runLevel(c: Int, r: Long): Option[Map[String, StageStat]] =
-      (1 to runs).flatMap(_ => phase(s"maint-$c")(cooled(maintenance(c, r))))
+    def runLevel(c: Int, r: Long, n: Int = runs): Option[Map[String, StageStat]] =
+      (1 to n).flatMap(_ => phase(s"maint-$c")(cooled(maintenance(c, r))))
         .reduceOption(minStages)
 
     // 3. the N vs 4N scaling pair at (scaleCpus, 4*scaleCpus) — by default
@@ -350,26 +424,30 @@ object Bench {
       if (doScaling) (runLevel(scale4Cpus, scaleRows), runLevel(scaleCpus, scaleRows))
       else (None, None)
 
-    // 4. absolute throughput at the full core count
-    val hi = runLevel(cpus, benchRows)
+    // 4. absolute throughput at the full core count (single run — the
+    // scaling gate lives on the pair above; this is the headline number)
+    val hi = runLevel(cpus, benchRows, n = 1)
 
     // --- emission: verbose file first, compact line LAST on stdout ---
     val total = results.map(_._2).sum
     def stageJson(st: String, h: StageStat, compact: Boolean): String = {
       val scaling = (lo1.flatMap(_.get(st)), lo4.flatMap(_.get(st))) match {
         case (Some(n), Some(n4)) =>
-          // efficiency = (T_N * N) / (T_4N * 4N): 1.0 = linear scaling
+          // efficiency = (T_N * N) / (T_4N * 4N): 1.0 = linear scaling;
+          // effn additionally normalizes by the measured per-core
+          // frequency drop between the two active-core counts (cpu_mops)
           val eff = (n.sec * scaleCpus) / (n4.sec * scale4Cpus)
+          val effn = eff * freqRatio
           if (compact)
             s""","n":[${fmt2(n.sec)},${(n.rows / n.sec).toLong}]""" +
               s""","n4":[${fmt2(n4.sec)},${(n4.rows / n4.sec).toLong}]""" +
-              s""","eff":${fmt2(eff)}"""
+              s""","eff":${fmt2(eff)},"effn":${fmt2(effn)}"""
           else
             s""","sec_n":${fmt(n.sec)},"sec_n4":${fmt(n4.sec)}""" +
               s""","seq_per_s_n":${fmt(n.rows / n.sec)},"seq_per_s_n4":${fmt(n4.rows / n4.sec)}""" +
               s""","gb_per_s_n":${fmt(n.bytes / n.sec / 1e9)},"gb_per_s_n4":${fmt(n4.bytes / n4.sec / 1e9)}""" +
               s""","gc_ms_n":${n.extra.getOrElse("gc_ms", "0")},"gc_ms_n4":${n4.extra.getOrElse("gc_ms", "0")}""" +
-              s""","scaling_eff":${fmt(eff)}"""
+              s""","scaling_eff":${fmt(eff)},"scaling_eff_freq_normalized":${fmt(effn)}"""
         case _ => ""
       }
       if (compact)
@@ -389,8 +467,10 @@ object Bench {
       .map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
     val bwJson = bw.toSeq.sortBy(_._1)
       .map { case (n, g) => s""""t$n":${fmt2(g)}""" }.mkString("{", ",", "}")
+    val spinJson = spin.toSeq.sortBy(_._1)
+      .map { case (n, g) => s""""t$n":${fmt2(g)}""" }.mkString("{", ",", "}")
 
-    val header = s""""unit":"sec","sf":${jstr(sfDir.split('/').last)},"cpus":$cpus,"scale_cpus":$scaleCpus,"scale4_cpus":$scale4Cpus,"rows":$benchRows,"srows":$scaleRows,"wall_s":${fmt2(elapsed)},"truncated":$truncated"""
+    val header = s""""unit":"sec","sf":${jstr(sfDir.split('/').last)},"cpus":$cpus,"scale_cpus":$scaleCpus,"scale4_cpus":$scale4Cpus,"rows":$benchRows,"srows":$scaleRows,"wall_s":${fmt2(elapsed)},"truncated":$truncated,"cpu_mops":$spinJson"""
 
     // verbose artifact (everything, committed to the repo by the builder)
     val verboseQs = results.map { case (k, v) => s""""$k":${fmt(v)}""" }

@@ -78,8 +78,15 @@ object Merge {
   /** Change-set schema: TokenRow columns + `_op` in {upsert, delete}. */
   val opCol = "_op"
 
-  /** Key-cell granularity: 6-byte order-preserving prefix. */
-  val RouteChars = 6
+  /** Key-cell granularity: 4-byte order-preserving prefix. For the hex
+    * doc_id population this bounds the summary at 16^4 = 65,536 cells, so
+    * the planning collect stays ~0.2 s regardless of change-set size
+    * (6 chars made the collect O(distinct keys) — measured ~1.5-2 s of
+    * pure driver serial time at a 134k-row change-set). Cell width
+    * (1/65,536 of key space) is far finer than any file span the stabbing
+    * has to test; coarser granularity is conservative-SAFE (false-positive
+    * touched files are re-emitted unchanged). */
+  val RouteChars = 4
 
   /** Max distinct key cells collected to the driver (longs — 8 MB at cap).
     * Overflow degrades to coarser 3-byte cells, then to all-files-touched
