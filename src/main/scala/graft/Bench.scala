@@ -337,7 +337,7 @@ object Bench {
 
     val wall0 = System.nanoTime()
     def elapsed: Double = (System.nanoTime() - wall0) / 1e9
-    val deadlineS = sys.env.getOrElse("SPARK_GRAFT_BENCH_DEADLINE_S", "1500").toInt
+    val deadlineS = sys.env.getOrElse("SPARK_GRAFT_BENCH_DEADLINE_S", "1750").toInt
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val benchRows = sys.env.getOrElse("SPARK_GRAFT_BENCH_ROWS", "4000000").toLong
@@ -350,8 +350,13 @@ object Bench {
     val doScaling = sys.env.getOrElse("SPARK_GRAFT_SCALING", "1") != "0"
     val scaleCpus = sys.env.getOrElse("SPARK_GRAFT_SCALE_CPUS", "2").toInt
     val scale4Cpus = scaleCpus * 4
+    // the scaling pair runs BIGGER than the absolute level: per-stage
+    // parallel work must stand ~22x above the measured serial floor
+    // (cell collect + sample + commit + job gaps, ~5-6 s/stage) for a
+    // 0.8 efficiency ceiling, and local-mode job floors do not shrink
+    // with the data the way a real cluster's minutes-long jobs dwarf them
     val scaleRows = sys.env.getOrElse("SPARK_GRAFT_SCALE_ROWS",
-      benchRows.toString).toLong
+      (benchRows * 11 / 8).toString).toLong
 
     var errors = Map.empty[String, String]
     var truncated = false
@@ -419,14 +424,30 @@ object Bench {
     // 8->32 efficiency is capped ~0.4 by the MEMORY BUS for any
     // bandwidth-bound engine. 2->8 is the range where the box scales
     // linearly — and the honest analog of a real cluster, where every
-    // added executor brings its own memory controllers.
+    // added executor brings its own memory controllers. The two levels
+    // are INTERLEAVED (4N, N, 4N, N): host-side contention (shared box)
+    // drifts on a minutes scale, and back-to-back same-level runs would
+    // let a noisy window hit one level only and skew the ratio.
     val (lo4, lo1) =
-      if (doScaling) (runLevel(scale4Cpus, scaleRows), runLevel(scaleCpus, scaleRows))
-      else (None, None)
+      if (doScaling) {
+        val pairs = (1 to runs).map { _ =>
+          (phase(s"maint-$scale4Cpus")(cooled(maintenance(scale4Cpus, scaleRows))),
+           phase(s"maint-$scaleCpus")(cooled(maintenance(scaleCpus, scaleRows))))
+        }
+        (pairs.flatMap(_._1).reduceOption(minStages),
+         pairs.flatMap(_._2).reduceOption(minStages))
+      } else (None, None)
 
     // 4. absolute throughput at the full core count (single run — the
     // scaling gate lives on the pair above; this is the headline number)
     val hi = runLevel(cpus, benchRows, n = 1)
+
+    // 5. re-probe the hardware envelope AFTER the measurements: the box is
+    // shared, its effective bandwidth drifts on a minutes scale, and the
+    // start/end pair brackets the conditions the stage numbers ran under
+    val bwEnd = phase("membw-end") {
+      Seq(scaleCpus, scale4Cpus).map(n => n -> memBwGbps(n)).toMap
+    }.getOrElse(Map.empty)
 
     // --- emission: verbose file first, compact line LAST on stdout ---
     val total = results.map(_._2).sum
@@ -465,17 +486,23 @@ object Bench {
     }
     def kvJson(m: Map[String, String]): String = m.toSeq.sortBy(_._1)
       .map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
-    val bwJson = bw.toSeq.sortBy(_._1)
-      .map { case (n, g) => s""""t$n":${fmt2(g)}""" }.mkString("{", ",", "}")
+    def bwJson(compact: Boolean) = (bw.toSeq.sortBy(_._1)
+        .map { case (n, g) => s""""t$n":${fmt2(g)}""" } ++
+      (if (compact) Seq.empty else bwEnd.toSeq.sortBy(_._1)
+        .map { case (n, g) => s""""t${n}_end":${fmt2(g)}""" }))
+      .mkString("{", ",", "}")
     val spinJson = spin.toSeq.sortBy(_._1)
       .map { case (n, g) => s""""t$n":${fmt2(g)}""" }.mkString("{", ",", "}")
 
-    val header = s""""unit":"sec","sf":${jstr(sfDir.split('/').last)},"cpus":$cpus,"scale_cpus":$scaleCpus,"scale4_cpus":$scale4Cpus,"rows":$benchRows,"srows":$scaleRows,"wall_s":${fmt2(elapsed)},"truncated":$truncated,"cpu_mops":$spinJson"""
+    def header(compact: Boolean) = {
+      val trunc = if (truncated || !compact) s""","truncated":$truncated""" else ""
+      s""""unit":"sec","sf":${jstr(sfDir.split('/').last)},"cpus":$cpus,"scale_cpus":$scaleCpus,"scale4_cpus":$scale4Cpus,"rows":$benchRows,"srows":$scaleRows,"wall_s":${fmt2(elapsed)}$trunc,"cpu_mops":$spinJson"""
+    }
 
     // verbose artifact (everything, committed to the repo by the builder)
     val verboseQs = results.map { case (k, v) => s""""$k":${fmt(v)}""" }
       .mkString("{", ",", "}")
-    val verbose = s"""{"metric":"total","value":${fmt(total)},$header,"queries":$verboseQs,"query_errors":${kvJson(queryErrors)},"errors":${kvJson(errors)},"mem_bw_gbps":$bwJson,"maintenance":${maintJson(compact = false)}}"""
+    val verbose = s"""{"metric":"total","value":${fmt(total)},${header(compact = false)},"queries":$verboseQs,"query_errors":${kvJson(queryErrors)},"errors":${kvJson(errors)},"mem_bw_gbps":${bwJson(compact = false)},"maintenance":${maintJson(compact = false)}}"""
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("BENCH_FULL.json"), verbose + "\n")
     catch { case _: Throwable => () }
@@ -486,6 +513,6 @@ object Bench {
     val errPart =
       if (queryErrors.isEmpty && errors.isEmpty) ""
       else s""","query_errors":${kvJson(queryErrors)},"errors":${kvJson(errors)}"""
-    println(s"""{"metric":"total","value":${fmt2(total)},$header,"mem_bw_gbps":$bwJson,"queries":$compactQs$errPart,"maintenance":${maintJson(compact = true)}}""")
+    println(s"""{"metric":"total","value":${fmt2(total)},${header(compact = true)},"mem_bw_gbps":${bwJson(compact = true)},"queries":$compactQs$errPart,"maintenance":${maintJson(compact = true)}}""")
   }
 }

@@ -46,6 +46,50 @@ case class FileBin(child: Expression,
     copy(child = newChild)
 }
 
+/**
+ * O(1) membership test against a driver-built key set — the merge's
+ * broadcast-anti replacement for SMALL change-sets. A BroadcastHashJoin
+ * (left_anti) costs a separate broadcast-build job (~2 s of fixed latency
+ * at bench scale) plus join machinery; for a change-set whose keys are
+ * already ON the driver (the merge planner collected its cell summary
+ * anyway), a HashSet reference inside a codegen'd filter fuses straight
+ * into the parquet scan stage — no join node, no extra job, no exchange.
+ * Keys are stored as UTF8String so the per-row probe does NOT decode the
+ * column to java.lang.String.
+ */
+case class KeySetContains(child: Expression,
+    keys: java.util.HashSet[UTF8String]) extends UnaryExpression {
+
+  override def dataType: DataType = BooleanType
+  override def nullIntolerant: Boolean = true
+
+  override protected def nullSafeEval(v: Any): Any =
+    keys.contains(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val s = ctx.addReferenceObj("graftKeySet", keys, "java.util.HashSet")
+    nullSafeCodeGen(ctx, ev, v =>
+      s"${ev.value} = ((java.util.HashSet<org.apache.spark.unsafe.types.UTF8String>) $s).contains($v);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): KeySetContains =
+    copy(child = newChild)
+}
+
+object KeySetContains {
+  def buildSet(keys: IterableOnce[String]): java.util.HashSet[UTF8String] = {
+    val s = new java.util.HashSet[UTF8String]()
+    keys.iterator.foreach(k => s.add(UTF8String.fromString(k)))
+    s
+  }
+
+  def contains(c: Column, set: java.util.HashSet[UTF8String]): Column =
+    Bridge.column(KeySetContains(Bridge.expression(c), set))
+
+  def contains(c: Column, keys: Iterable[String]): Column =
+    contains(c, buildSet(keys))
+}
+
 object FileBin {
   /** `dir/base` suffix of a path: the last two components. */
   private def key2(s: String): String = {

@@ -379,24 +379,30 @@ object Merge {
   val BroadcastSourceRows: Long = 1200000L
 
   /**
-   * Broadcast-anti merge for SMALL change-sets: merged = target rows whose
-   * doc_id has NO source action (broadcast left-anti hash join — the
-   * build side is just the deduped keys) ∪ source upserts. Stays entirely
-   * inside whole-stage codegen (no Dataset encoder round-trip like the
-   * run scan) and — because the anti-join matches on doc_id ALONE, exactly
-   * like the SortMergeJoin reference — it is immune to the source-mutation
-   * hazard: an upsert that changes a key's `source` removes the old copy
-   * wherever it lives and writes the new one into its new source's bin,
-   * and a delete removes the key regardless of the source it names.
-   * Output binning/sorting identical to fusedMergeWrite (unique doc_id →
-   * same rows, same bins, same in-file order).
+   * Key-set anti merge for SMALL change-sets: merged = target rows whose
+   * doc_id has NO source action ∪ source upserts. The anti side is a
+   * driver-built HashSet probed by a codegen'd filter
+   * (functions.KeySetContains) that fuses straight into the parquet scan
+   * stage — no join node, no broadcast-build job (a BroadcastHashJoin
+   * spent ~2 s of fixed latency per merge building its relation), no
+   * Dataset encoder round-trip like the run scan. Because the filter
+   * matches on doc_id ALONE, exactly like the SortMergeJoin reference, it
+   * is immune to the source-mutation hazard: an upsert that changes a
+   * key's `source` removes the old copy wherever it lives and writes the
+   * new one into its new source's bin, and a delete removes the key
+   * regardless of the source it names. Output binning/sorting identical
+   * to fusedMergeWrite (unique doc_id → same rows, same bins, same
+   * in-file order).
    */
   private[graft] def broadcastMergeWrite(target: DataFrame, srcU: DataFrame,
-      files: Seq[DataFile], targetBytes: Long, out: Path): Unit = {
-    val keys = srcU.select(col("doc_id"))
+      files: Seq[DataFile], targetBytes: Long, out: Path,
+      keySet: Option[java.util.HashSet[org.apache.spark.unsafe.types.UTF8String]] = None): Unit = {
+    val ks = keySet.getOrElse(graft.functions.KeySetContains.buildSet(
+      srcU.select(col("doc_id")).collect().iterator.map(_.getString(0))))
     val upserts = srcU.filter(col(opCol) =!= "delete")
       .select("doc_id", "tokens", "n_tok", "source")
-    val merged = target.join(broadcast(keys), Seq("doc_id"), "left_anti")
+    val merged = target
+      .filter(!graft.functions.KeySetContains.contains(col("doc_id"), ks))
       .select("doc_id", "tokens", "n_tok", "source")
       .unionByName(upserts)
     val (binCol, totalBins) = binColumn(files, targetBytes)
@@ -512,6 +518,13 @@ object Merge {
       // the path its staged output came from
       val srcRows = statsOpt.map(_.iterator.map(_.n).sum).getOrElse(Long.MaxValue)
       val useBroadcast = srcRows <= broadcastThreshold
+      // one driver collect of the deduped keys, shared by every unit's
+      // KeySetContains filter (keys outside a unit's range simply never
+      // match its rows)
+      val keySet =
+        if (!useBroadcast || units.isEmpty) None
+        else Some(graft.functions.KeySetContains.buildSet(
+          src.select(col("doc_id")).collect().iterator.map(_.getString(0))))
 
       // insert unit planning (driver-only): keys outside every touched
       // range; deletes are no-ops there. Row count comes from the cell
@@ -558,7 +571,7 @@ object Merge {
             val outDir = table.log.newDataSubdir()
             if (useBroadcast)
               broadcastMergeWrite(target, src.filter(unitOf === u.id),
-                u.files, targetFileBytes, outDir)
+                u.files, targetFileBytes, outDir, keySet)
             else
               fusedMergeWrite(target, src.filter(unitOf === u.id),
                 u.files, targetFileBytes, outDir, Some(lonelyUp), Some(lonelyDel))

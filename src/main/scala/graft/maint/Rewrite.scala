@@ -287,9 +287,25 @@ object Rewrite {
     val boundsBySource: Map[String, Array[Long]] =
       if (needSample.isEmpty) Map.empty
       else {
-        val allPaths = needSample.flatMap(_._2)
+        // sample a deterministic 1-in-4 file subset per source (sorted
+        // paths, every 4th): boundary quantiles are statistics, not exact
+        // values, and the clustering key's distribution inside any file
+        // subset matches the global one up to the subset's key slice —
+        // sampling every file made the sample job ~2 s of the 8-core
+        // stage's serial share. Per-source mod shrinks 4x to keep the
+        // sample COUNT (hence boundary precision) unchanged.
+        // subset order keyed on DATA (doc_id min stat, bytes, rows) — not
+        // on paths, whose staging-dir UUIDs differ between runs/levels
+        val sampleFiles = needSample.map { case (p, fs, nOut, mod) =>
+          val pick = fs.sortBy(f => (f.stats.get("doc_id")
+              .flatMap(s => Option(s.min)).getOrElse(""), f.bytes, f.rows))
+            .zipWithIndex
+            .collect { case (f, i) if i % 4 == 0 => f }
+          (p, pick, nOut, math.max(1L, mod / 4))
+        }
+        val allPaths = sampleFiles.flatMap(_._2)
           .map(f => table.log.absolute(f.path).toString)
-        val modOf = needSample.foldLeft(lit(Long.MaxValue): Column) {
+        val modOf = sampleFiles.foldLeft(lit(Long.MaxValue): Column) {
           case (acc, (p, _, _, mod)) => when(col("source") === p, lit(mod)).otherwise(acc)
         }
         val sampled = spark.read.schema(TokenRow.schema).parquet(allPaths: _*)
