@@ -124,7 +124,9 @@ object Maintain {
           report(t, s.version)
         case "sql" =>
           val t = TokenTable.load(root, spark)
-          val idx = graft.sources.GraftSql.register(spark, t, "graft_tokens")
+          // --version N = time travel: the view serves snapshot N's files
+          val idx = graft.sources.GraftSql.register(spark, t, "graft_tokens",
+            opts.get("version").map(_.toLong))
           val q = opts.getOrElse("query",
             "SELECT source, count(*) AS n FROM graft_tokens GROUP BY source ORDER BY source")
           spark.sql(q).show(100, truncate = false)
@@ -204,5 +206,5 @@ object Maintain {
       |  replace: --sources a,b,.. --rows N --seed S --files K   (dynamic partition overwrite)
       |  expire: --retain K [--sweep-orphans [--grace-hours H]]
       |  scan: --source S --min-tok A --max-tok B
-      |  sql: --query "SELECT ... FROM graft_tokens ..."""".stripMargin)
+      |  sql: --query "SELECT ... FROM graft_tokens ..." [--version N]   (N = time travel)""".stripMargin)
 }

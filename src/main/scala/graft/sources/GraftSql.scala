@@ -132,10 +132,13 @@ object GraftSql {
   }
 
   /** Register the table as a temp view so `spark.sql` reaches manifest
-    * pruning; returns the index for pruning-metrics inspection. */
+    * pruning; returns the index for pruning-metrics inspection.
+    * `version` pins the view to a historical snapshot — SQL time travel
+    * (the engine-side equivalent of `VERSION AS OF`): the view keeps
+    * serving that snapshot's files even as the table advances. */
   def register(spark: SparkSession, table: TokenTable,
-      viewName: String): GraftFileIndex = {
-    val (df, index) = toDF(spark, table)
+      viewName: String, version: Option[Long] = None): GraftFileIndex = {
+    val (df, index) = toDF(spark, table, version)
     df.createOrReplaceTempView(viewName)
     index
   }

@@ -59,4 +59,20 @@ class SqlSpec extends SparkTestBase {
     val (df1, _) = GraftSql.toDF(spark, table)
     assert(df1.count() === before + 500) // fresh handle sees the append
   }
+
+  test("time travel: a view registered at an old version serves it via spark.sql") {
+    // (runs after the pinning test's append — history has >= 2 data versions)
+    val versions = table.log.versions()
+    val old = versions(versions.size - 2)
+    val oldCount = table.scan(version = Some(old))._1.count()
+    val curCount = table.scan()._1.count()
+    assert(oldCount != curCount, "history must differ for the test to bite")
+    GraftSql.register(spark, table, "graft_tokens_asof", Some(old))
+    assert(spark.sql("SELECT count(*) FROM graft_tokens_asof")
+      .head().getLong(0) === oldCount)
+    // current-version view still sees the latest snapshot
+    GraftSql.register(spark, table, "graft_tokens_now")
+    assert(spark.sql("SELECT count(*) FROM graft_tokens_now")
+      .head().getLong(0) === curCount)
+  }
 }
