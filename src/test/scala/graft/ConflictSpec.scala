@@ -158,6 +158,49 @@ class ConflictSpec extends SparkTestBase {
     assert(fp(t.scan()._1) === fpBefore)
   }
 
+  test("lineage GC: abandoned passes unprotect their staged dirs; current-version passes stay") {
+    // ADVICE r2 #3: without lineage pruning, staged output of abandoned
+    // passes (base snapshot long superseded) was protected FOREVER
+    val root = tmpDir("graft-lingc")
+    val t = TokenTable.create(root, spark)
+    t.append(Synth.table(spark, 1500, 42L, 16, 64), targetFileCount = 4, nowMs = 1L)
+    val log = t.log
+    val lin = new LineageLog(root)
+
+    // abandoned pass staged at base v1 (never committed)
+    val deadDir = log.newDataSubdir()
+    java.nio.file.Files.createDirectories(deadDir)
+    val deadFile = deadDir.resolve("part-0.parquet")
+    java.nio.file.Files.writeString(deadFile, "abandoned")
+    lin.append(graft.lineage.LineageRecord("zorder-v1", "zorder", "g-of-web",
+      "done", 1, Seq(log.relativize(deadDir)), 5, 5, 1))
+
+    // table advances past the abandoned pass's base
+    t.append(Synth.table(spark, 500, 7L, 16, 64)
+      .withColumn(
+        "doc_id", org.apache.spark.sql.functions.concat(
+          org.apache.spark.sql.functions.lit("zz-"),
+          org.apache.spark.sql.functions.col("doc_id"))),
+      targetFileCount = 2, nowMs = 2L)
+
+    // in-flight pass at the CURRENT version — must stay protected
+    val liveDir = log.newDataSubdir()
+    java.nio.file.Files.createDirectories(liveDir)
+    val liveFile = liveDir.resolve("part-0.parquet")
+    java.nio.file.Files.writeString(liveFile, "in-flight")
+    lin.append(graft.lineage.LineageRecord(
+      s"compact-v${log.currentVersion().get}", "compact", "g0",
+      "done", 1, Seq(log.relativize(liveDir)), 5, 5, 1))
+
+    val rep = Expire.sweepOrphans(t, graceMs = -1000)
+    assert(rep.dataFiles.contains(log.relativize(deadFile)),
+      s"abandoned staged file not swept: $rep")
+    assert(!java.nio.file.Files.exists(deadFile))
+    assert(java.nio.file.Files.exists(liveFile), "current-version staged file swept!")
+    assert(new LineageLog(root).passes() ===
+      Seq(s"compact-v${log.currentVersion().get}")) // dead log pruned
+  }
+
   test("PrefixCode is order-preserving and matches the Column expression") {
     val strs = Seq("", "0", "0000", "00ff-1", "7fffabc", "abcdef0123",
       "new-42", "zzzzzzzz", "a", "ab")
