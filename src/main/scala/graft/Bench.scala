@@ -87,6 +87,8 @@ object Bench {
       // defaults on a real cluster too — shuffle/storage bytes are the
       // scarce resource.
       .config("spark.io.compression.codec", "zstd")
+      .config("spark.io.compression.zstd.level",
+        sys.env.getOrElse("SPARK_GRAFT_ZSTD_LEVEL", "1"))
       .config("spark.sql.parquet.compression.codec", "zstd")
       .config("spark.hadoop.parquet.writer.version", "v2")
       .config("spark.shuffle.file.buffer", "1m")
