@@ -23,9 +23,16 @@ import graft.maint.{Merge, Rewrite, RewriteConfig}
  *  - every phase runs under try/catch — a failure is recorded in the JSON
  *    `errors` field and the run continues; a partial artifact always
  *    parses (rc 0), never dies mid-write;
- *  - a soft DEADLINE (SPARK_GRAFT_BENCH_DEADLINE_S, default 1300 s)
- *    is checked between phases: when exceeded, remaining phases are
- *    skipped and whatever was measured is emitted with "truncated":true.
+ *  - a soft DEADLINE (SPARK_GRAFT_BENCH_DEADLINE_S, default 1750 s)
+ *    gates every phase on time REMAINING vs the phase's own estimated
+ *    cost; phases run in gate-evidence order — probes → warmup → the
+ *    (N,4N) scaling pair (the north-rule number; its first iteration is
+ *    unconditional) → 32-core absolute → query timings LAST (their
+ *    correctness is separately driver-verified; VERDICT r3 next-step 1:
+ *    three driver rounds spent the wall budget on queries-first ordering
+ *    and never held a maintenance scaling number);
+ *  - the maintenance JSON is assembled from whichever phases completed —
+ *    scaling numbers are never dropped because a LATER phase was skipped.
  *
  * Measurement discipline for this sandbox (each point measured, see
  * BASELINE.md "Measurement discipline"):
@@ -340,6 +347,7 @@ object Bench {
     val wall0 = System.nanoTime()
     def elapsed: Double = (System.nanoTime() - wall0) / 1e9
     val deadlineS = sys.env.getOrElse("SPARK_GRAFT_BENCH_DEADLINE_S", "1750").toInt
+    def remainingS: Double = deadlineS - elapsed
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val benchRows = sys.env.getOrElse("SPARK_GRAFT_BENCH_ROWS", "4000000").toLong
@@ -362,21 +370,111 @@ object Bench {
 
     var errors = Map.empty[String, String]
     var truncated = false
-    def phase[A](name: String, skipAfterDeadline: Boolean = true)(f: => A): Option[A] = {
-      if (skipAfterDeadline && elapsed > deadlineS) { truncated = true; None }
+    /** Run a phase unless the wall budget is spent. `estCost` is the
+      * phase's expected seconds: a phase only STARTS if it can plausibly
+      * finish inside the deadline (VERDICT r3 "What's wrong" #6 — checking
+      * only `elapsed > deadline` let a phase entered at 1749 s run the
+      * driver 90 s past its kill line). `required` phases run regardless:
+      * the scaling pair is the artifact's whole reason to exist. */
+    def phase[A](name: String, estCost: Double = 0.0,
+        required: Boolean = false)(f: => A): Option[A] = {
+      if (!required && remainingS < estCost) { truncated = true; None }
       else try Some(f) catch { case e: Throwable =>
         errors += name -> e.toString.linesIterator.next().take(160)
         None
       }
     }
 
-    // 1. per-query timings at the main parallelism level. Failures are
+    // PHASE ORDER (VERDICT r3 next-step 1 — three rounds of driver runs
+    // never held a maintenance scaling number): the (N, 4N) scaling pair —
+    // the ONE number the north rule gates on — runs FIRST among the
+    // expensive phases; the 32-core absolute and the query suite (whose
+    // correctness is already driver-verified via CORRECTNESS_rN; timings
+    // are gravy) run LAST, each gated on time remaining vs its own
+    // estimated cost.
+
+    // 1. hardware envelope probes. Each probe runs ONCE discarded before
+    // the timed passes: the first artifact shipped a 2-thread DRAM number
+    // measured while C2 was still compiling the probe loop itself
+    // (3.2 GB/s vs the true ~13).
+    val bw = phase("membw", required = true) {
+      memBwGbps(scale4Cpus) // JIT+page-touch warmup, discarded
+      Seq(scaleCpus, scale4Cpus, cpus).distinct.map(n => n -> memBwGbps(n)).toMap
+    }.getOrElse(Map.empty)
+    val spin = phase("cpuspin", required = true) {
+      cpuSpinMops(scale4Cpus) // JIT warmup, discarded
+      Seq(scaleCpus, scale4Cpus, cpus).distinct.map(n => n -> cpuSpinMops(n)).toMap
+    }.getOrElse(Map.empty)
+    // frequency-normalization factor: how much slower one core runs with
+    // 4N active vs N active (host turbo coupling a real cluster lacks)
+    val freqRatio = (spin.get(scaleCpus), spin.get(scale4Cpus)) match {
+      case (Some(a), Some(b)) if b > 0 => a / b
+      case _ => 1.0
+    }
+
+    // 2. JIT warmup pipeline (small rows — C2 compiles the whole
+    // Spark/parquet/zstd stack on the first pipeline in a JVM)
+    phase("warmup", required = true) {
+      maintenance(scale4Cpus, math.max(benchRows / 8, 20000))
+    }
+    // explicit GC before each timed pipeline: heap state carried over from
+    // the previous pipeline (old-gen occupancy, fragmented humongous
+    // regions) measured as ±30% stage noise without it
+    def cooled[A](f: => A): A = { System.gc(); Thread.sleep(cooldownMs); f }
+    def minStages(a: Map[String, StageStat],
+        b: Map[String, StageStat]): Map[String, StageStat] =
+      a.map { case (k, v) => k -> (if (b.get(k).exists(_.sec < v.sec)) b(k) else v) }
+
+    // 3. the N vs 4N scaling pair at (scaleCpus, 4*scaleCpus) — by default
+    // 2 vs 8, NOT 8 vs 32: this VM's DRAM bandwidth scales only ~1.6x from
+    // 8 to 32 threads (the membw probe above reports it in the JSON), so
+    // 8->32 efficiency is capped ~0.4 by the MEMORY BUS for any
+    // bandwidth-bound engine. 2->8 is the range where the box scales
+    // linearly — and the honest analog of a real cluster, where every
+    // added executor brings its own memory controllers. The two levels
+    // are INTERLEAVED (4N, N, 4N, N): host-side contention (shared box)
+    // drifts on a minutes scale, and back-to-back same-level runs would
+    // let a noisy window hit one level only and skew the ratio.
+    // The FIRST pair is `required` (it IS the artifact); the second runs
+    // only if the first pair's measured wall cost fits the remaining
+    // budget — the deadline is checked INSIDE the loop, per level.
+    var pairCost = 0.0 // measured wall seconds of the slowest completed pair
+    val (lo4, lo1) =
+      if (doScaling) {
+        val pairs = (1 to runs).map { r =>
+          if (r > 1 && remainingS < pairCost * 1.1) { truncated = true; (None, None) }
+          else {
+            val t0 = System.nanoTime()
+            val hi4 = phase(s"maint-$scale4Cpus", required = r == 1,
+              estCost = pairCost * 0.3)(cooled(maintenance(scale4Cpus, scaleRows)))
+            val loN = phase(s"maint-$scaleCpus", required = r == 1,
+              estCost = pairCost * 0.7)(cooled(maintenance(scaleCpus, scaleRows)))
+            pairCost = math.max(pairCost, (System.nanoTime() - t0) / 1e9)
+            (hi4, loN)
+          }
+        }
+        (pairs.flatMap(_._1).reduceOption(minStages),
+         pairs.flatMap(_._2).reduceOption(minStages))
+      } else (None, None)
+
+    // 4. absolute throughput at the full core count (single run — the
+    // scaling gate lives on the pair above; this is the headline number).
+    // Cost estimate: the 4N-level pipeline scaled by the row ratio (the
+    // 32-core run is floor-bound, rarely much faster than the 8-core one).
+    val hiEst = pairCost * 0.3 * (benchRows.toDouble / scaleRows) + 30
+    val hi = phase(s"maint-$cpus", estCost = hiEst)(
+      cooled(maintenance(cpus, benchRows)))
+
+    // 5. per-query timings at the main parallelism level — LAST: their
+    // correctness is already gated by CORRECTNESS_rN, so when the budget
+    // is short these timings are the right thing to drop. Failures are
     // REPORTED (error string per query), never swallowed into a timing.
     var queryErrors = Map.empty[String, String]
+    val queryEst = sys.env.getOrElse("SPARK_GRAFT_QUERY_EST_S", "240").toInt
     val results: Seq[(String, Double)] =
       if (sys.env.get("SPARK_GRAFT_SKIP_QUERIES").contains("1"))
         Seq.empty
-      else phase("queries") {
+      else phase("queries", estCost = queryEst) {
         val spark = session(cpus, aqe = true)
         val rs = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
           val t0 = System.nanoTime()
@@ -390,70 +488,23 @@ object Bench {
         rs
       }.getOrElse(Seq.empty)
 
-    // 2. hardware envelope + JIT warmup. Each probe runs ONCE discarded
-    // before the timed passes: the first artifact shipped a 2-thread DRAM
-    // number measured while C2 was still compiling the probe loop itself
-    // (3.2 GB/s vs the true ~13).
-    val bw = phase("membw") {
-      memBwGbps(scale4Cpus) // JIT+page-touch warmup, discarded
-      Seq(scaleCpus, scale4Cpus, cpus).distinct.map(n => n -> memBwGbps(n)).toMap
-    }.getOrElse(Map.empty)
-    val spin = phase("cpuspin") {
-      cpuSpinMops(scale4Cpus) // JIT warmup, discarded
-      Seq(scaleCpus, scale4Cpus, cpus).distinct.map(n => n -> cpuSpinMops(n)).toMap
-    }.getOrElse(Map.empty)
-    // frequency-normalization factor: how much slower one core runs with
-    // 4N active vs N active (host turbo coupling a real cluster lacks)
-    val freqRatio = (spin.get(scaleCpus), spin.get(scale4Cpus)) match {
-      case (Some(a), Some(b)) if b > 0 => a / b
-      case _ => 1.0
-    }
-    phase("warmup") { maintenance(scale4Cpus, math.max(benchRows / 8, 20000)) }
-    // explicit GC before each timed pipeline: heap state carried over from
-    // the previous pipeline (old-gen occupancy, fragmented humongous
-    // regions) measured as ±30% stage noise without it
-    def cooled[A](f: => A): A = { System.gc(); Thread.sleep(cooldownMs); f }
-    def minStages(a: Map[String, StageStat],
-        b: Map[String, StageStat]): Map[String, StageStat] =
-      a.map { case (k, v) => k -> (if (b.get(k).exists(_.sec < v.sec)) b(k) else v) }
-    def runLevel(c: Int, r: Long, n: Int = runs): Option[Map[String, StageStat]] =
-      (1 to n).flatMap(_ => phase(s"maint-$c")(cooled(maintenance(c, r))))
-        .reduceOption(minStages)
-
-    // 3. the N vs 4N scaling pair at (scaleCpus, 4*scaleCpus) — by default
-    // 2 vs 8, NOT 8 vs 32: this VM's DRAM bandwidth scales only ~1.6x from
-    // 8 to 32 threads (the membw probe above reports it in the JSON), so
-    // 8->32 efficiency is capped ~0.4 by the MEMORY BUS for any
-    // bandwidth-bound engine. 2->8 is the range where the box scales
-    // linearly — and the honest analog of a real cluster, where every
-    // added executor brings its own memory controllers. The two levels
-    // are INTERLEAVED (4N, N, 4N, N): host-side contention (shared box)
-    // drifts on a minutes scale, and back-to-back same-level runs would
-    // let a noisy window hit one level only and skew the ratio.
-    val (lo4, lo1) =
-      if (doScaling) {
-        val pairs = (1 to runs).map { _ =>
-          (phase(s"maint-$scale4Cpus")(cooled(maintenance(scale4Cpus, scaleRows))),
-           phase(s"maint-$scaleCpus")(cooled(maintenance(scaleCpus, scaleRows))))
-        }
-        (pairs.flatMap(_._1).reduceOption(minStages),
-         pairs.flatMap(_._2).reduceOption(minStages))
-      } else (None, None)
-
-    // 4. absolute throughput at the full core count (single run — the
-    // scaling gate lives on the pair above; this is the headline number)
-    val hi = runLevel(cpus, benchRows, n = 1)
-
-    // 5. re-probe the hardware envelope AFTER the measurements: the box is
+    // 6. re-probe the hardware envelope AFTER the measurements: the box is
     // shared, its effective bandwidth drifts on a minutes scale, and the
     // start/end pair brackets the conditions the stage numbers ran under
-    val bwEnd = phase("membw-end") {
+    val bwEnd = phase("membw-end", required = true) {
       Seq(scaleCpus, scale4Cpus).map(n => n -> memBwGbps(n)).toMap
     }.getOrElse(Map.empty)
 
     // --- emission: verbose file first, compact line LAST on stdout ---
+    // The maintenance section is built from WHATEVER phases completed:
+    // scaling numbers come straight from the pair results, absolute
+    // numbers from the 32-core run if it happened. (The round-3 driver
+    // artifact shipped `maintenance:{}` although the scaling pair had
+    // almost certainly completed — the old emission only rendered stages
+    // present in the deadline-skipped absolute map, silently discarding
+    // the pair. The gate evidence must never depend on a later phase.)
     val total = results.map(_._2).sum
-    def stageJson(st: String, h: StageStat, compact: Boolean): String = {
+    def stageJson(st: String, compact: Boolean): String = {
       val scaling = (lo1.flatMap(_.get(st)), lo4.flatMap(_.get(st))) match {
         case (Some(n), Some(n4)) =>
           // efficiency = (T_N * N) / (T_4N * 4N): 1.0 = linear scaling;
@@ -462,29 +513,34 @@ object Bench {
           val eff = (n.sec * scaleCpus) / (n4.sec * scale4Cpus)
           val effn = eff * freqRatio
           if (compact)
-            s""","n":[${fmt2(n.sec)},${(n.rows / n.sec).toLong}]""" +
+            s""""n":[${fmt2(n.sec)},${(n.rows / n.sec).toLong}]""" +
               s""","n4":[${fmt2(n4.sec)},${(n4.rows / n4.sec).toLong}]""" +
               s""","eff":${fmt2(eff)},"effn":${fmt2(effn)}"""
           else
-            s""","sec_n":${fmt(n.sec)},"sec_n4":${fmt(n4.sec)}""" +
+            s""""sec_n":${fmt(n.sec)},"sec_n4":${fmt(n4.sec)}""" +
               s""","seq_per_s_n":${fmt(n.rows / n.sec)},"seq_per_s_n4":${fmt(n4.rows / n4.sec)}""" +
               s""","gb_per_s_n":${fmt(n.bytes / n.sec / 1e9)},"gb_per_s_n4":${fmt(n4.bytes / n4.sec / 1e9)}""" +
               s""","gc_ms_n":${n.extra.getOrElse("gc_ms", "0")},"gc_ms_n4":${n4.extra.getOrElse("gc_ms", "0")}""" +
               s""","scaling_eff":${fmt(eff)},"scaling_eff_freq_normalized":${fmt(effn)}"""
         case _ => ""
       }
-      if (compact)
-        s""""$st":{"sec":${fmt2(h.sec)},"sps":${(h.rows / h.sec).toLong}$scaling}"""
-      else {
-        val extras = h.extra.toSeq.sortBy(_._1)
-          .map { case (k, v) => s""","$k":"$v"""" }.mkString
-        s""""$st":{"sec":${fmt(h.sec)},"seq_per_s":${fmt(h.rows / h.sec)},"gb_per_s":${fmt(h.bytes / h.sec / 1e9)},"rows":${h.rows},"bytes":${h.bytes}$extras$scaling}"""
+      val abs = hi.flatMap(_.get(st)) match {
+        case Some(h) if compact =>
+          s""""sec":${fmt2(h.sec)},"sps":${(h.rows / h.sec).toLong}"""
+        case Some(h) =>
+          val extras = h.extra.toSeq.sortBy(_._1)
+            .map { case (k, v) => s""""$k":"$v"""" }.mkString(",")
+          s""""sec":${fmt(h.sec)},"seq_per_s":${fmt(h.rows / h.sec)},"gb_per_s":${fmt(h.bytes / h.sec / 1e9)},"rows":${h.rows},"bytes":${h.bytes}""" +
+            (if (extras.isEmpty) "" else s",$extras")
+        case None => ""
       }
+      s""""$st":{${Seq(abs, scaling).filter(_.nonEmpty).mkString(",")}}"""
     }
-    def maintJson(compact: Boolean): String = hi match {
-      case Some(m) => m.toSeq.sortBy(_._1)
-        .map { case (st, h) => stageJson(st, h, compact) }.mkString("{", ",", "}")
-      case None => "{}"
+    def maintJson(compact: Boolean): String = {
+      val stages = (hi.map(_.keySet).getOrElse(Set.empty) ++
+        lo4.map(_.keySet).getOrElse(Set.empty) ++
+        lo1.map(_.keySet).getOrElse(Set.empty)).toSeq.sorted
+      stages.map(st => stageJson(st, compact)).mkString("{", ",", "}")
     }
     def kvJson(m: Map[String, String]): String = m.toSeq.sortBy(_._1)
       .map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
