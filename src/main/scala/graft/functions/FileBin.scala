@@ -1,7 +1,8 @@
 package graft.functions
 
-import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.broadcast.Broadcast
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.graft.Bridge
 import org.apache.spark.sql.types._
@@ -21,22 +22,34 @@ import org.apache.spark.unsafe.types.UTF8String
  * UUID, so basenames are globally unique — no per-row URI normalization
  * needed) and fuses into whole-stage codegen like RangeBin.
  *
+ * The map rides in a `SparkContext.broadcast` (VERDICT r3 "What's wrong"
+ * #4): embedding it as an expression reference object put multi-MB payloads
+ * in the task binary of EVERY stage that referenced the expression (the
+ * driver run logged 6.9–11.9 MiB task binaries); a broadcast ships once
+ * per executor and is shared across the pass's per-unit jobs. The
+ * generated code derefs it once per task into a mutable-state local.
+ *
  * Keys are the last TWO path components (`p_source=web/part-...parquet`):
  * one write task emits a same-named part file into EVERY partition dir it
  * holds rows for (the job uuid + task ordinal make basenames unique only
  * within a dir), so the partition dir must be part of the key.
  */
 case class FileBin(child: Expression,
-    binOf: java.util.HashMap[String, Integer]) extends UnaryExpression {
+    binOf: Broadcast[java.util.HashMap[String, Integer]]) extends UnaryExpression {
 
   override def dataType: DataType = IntegerType
   override def nullIntolerant: Boolean = true
 
+  @transient private lazy val localMap = binOf.value
+
   override protected def nullSafeEval(v: Any): Any =
-    FileBin.lookup(v.asInstanceOf[UTF8String], binOf)
+    FileBin.lookup(v.asInstanceOf[UTF8String], localMap)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val m = ctx.addReferenceObj("graftFileBins", binOf, "java.util.HashMap")
+    val b = ctx.addReferenceObj("graftFileBinsBc", binOf,
+      "org.apache.spark.broadcast.Broadcast")
+    val m = ctx.addMutableState("java.util.HashMap", "graftFileBins",
+      v => s"$v = (java.util.HashMap) $b.value();")
     val cls = FileBin.getClass.getName.stripSuffix("$") + "$"
     nullSafeCodeGen(ctx, ev, v =>
       s"${ev.value} = $cls.MODULE$$.lookup($v, (java.util.HashMap<String,Integer>) $m);")
@@ -52,22 +65,27 @@ case class FileBin(child: Expression,
  * (left_anti) costs a separate broadcast-build job (~2 s of fixed latency
  * at bench scale) plus join machinery; for a change-set whose keys are
  * already ON the driver (the merge planner collected its cell summary
- * anyway), a HashSet reference inside a codegen'd filter fuses straight
+ * anyway), a broadcast HashSet probed by a codegen'd filter fuses straight
  * into the parquet scan stage — no join node, no extra job, no exchange.
  * Keys are stored as UTF8String so the per-row probe does NOT decode the
  * column to java.lang.String.
  */
 case class KeySetContains(child: Expression,
-    keys: java.util.HashSet[UTF8String]) extends UnaryExpression {
+    keys: Broadcast[java.util.HashSet[UTF8String]]) extends UnaryExpression {
 
   override def dataType: DataType = BooleanType
   override def nullIntolerant: Boolean = true
 
+  @transient private lazy val localSet = keys.value
+
   override protected def nullSafeEval(v: Any): Any =
-    keys.contains(v.asInstanceOf[UTF8String])
+    localSet.contains(v.asInstanceOf[UTF8String])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val s = ctx.addReferenceObj("graftKeySet", keys, "java.util.HashSet")
+    val b = ctx.addReferenceObj("graftKeySetBc", keys,
+      "org.apache.spark.broadcast.Broadcast")
+    val s = ctx.addMutableState("java.util.HashSet", "graftKeySet",
+      v => s"$v = (java.util.HashSet) $b.value();")
     nullSafeCodeGen(ctx, ev, v =>
       s"${ev.value} = ((java.util.HashSet<org.apache.spark.unsafe.types.UTF8String>) $s).contains($v);")
   }
@@ -83,11 +101,77 @@ object KeySetContains {
     s
   }
 
-  def contains(c: Column, set: java.util.HashSet[UTF8String]): Column =
-    Bridge.column(KeySetContains(Bridge.expression(c), set))
+  def contains(c: Column, set: java.util.HashSet[UTF8String]): Column = {
+    val bc = SparkSession.active.sparkContext.broadcast(set)
+    Bridge.column(KeySetContains(Bridge.expression(c), bc))
+  }
 
   def contains(c: Column, keys: Iterable[String]): Column =
     contains(c, buildSet(keys))
+}
+
+/**
+ * Per-row classification of a target row against the merge change-set's
+ * (doc_id → claimed source) map — the broadcast merge path's filter AND
+ * its provenance-contract probe in one O(1) lookup:
+ *
+ *   0 = no action for this doc_id (row carries through untouched)
+ *   1 = action present, claimed `source` matches the stored row's
+ *       (row is replaced/deleted by the action)
+ *   2 = action present but claims a DIFFERENT `source` — the
+ *       provenance-immutability contract violation (ADVICE r3 #1: the
+ *       run-scan path always aborted on this, the broadcast path silently
+ *       rewrote provenance; both paths now enforce the same contract —
+ *       the caller observes the count of 2s in the same write pass via
+ *       `Dataset.observe` and aborts before commit)
+ */
+case class KeyMapCode(left: Expression, right: Expression,
+    actionSource: Broadcast[java.util.HashMap[UTF8String, UTF8String]])
+    extends BinaryExpression {
+
+  override def dataType: DataType = IntegerType
+  override def nullIntolerant: Boolean = true
+
+  @transient private lazy val localMap = actionSource.value
+
+  override protected def nullSafeEval(docId: Any, source: Any): Any =
+    KeyMapCode.code(docId.asInstanceOf[UTF8String],
+      source.asInstanceOf[UTF8String], localMap)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val b = ctx.addReferenceObj("graftKeyMapBc", actionSource,
+      "org.apache.spark.broadcast.Broadcast")
+    val m = ctx.addMutableState("java.util.HashMap", "graftKeyMap",
+      v => s"$v = (java.util.HashMap) $b.value();")
+    val cls = KeyMapCode.getClass.getName.stripSuffix("$") + "$"
+    nullSafeCodeGen(ctx, ev, (d, s) =>
+      s"${ev.value} = $cls.MODULE$$.code($d, $s, (java.util.HashMap<org.apache.spark.unsafe.types.UTF8String,org.apache.spark.unsafe.types.UTF8String>) $m);")
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): KeyMapCode = copy(left = newLeft, right = newRight)
+}
+
+object KeyMapCode {
+  def code(docId: UTF8String, source: UTF8String,
+      m: java.util.HashMap[UTF8String, UTF8String]): Int = {
+    val claimed = m.get(docId)
+    if (claimed == null) 0 else if (claimed.equals(source)) 1 else 2
+  }
+
+  def buildMap(pairs: IterableOnce[(String, String)])
+      : java.util.HashMap[UTF8String, UTF8String] = {
+    val m = new java.util.HashMap[UTF8String, UTF8String]()
+    pairs.iterator.foreach { case (k, v) =>
+      m.put(UTF8String.fromString(k), UTF8String.fromString(v))
+    }
+    m
+  }
+
+  def of(docId: Column, source: Column,
+      bc: Broadcast[java.util.HashMap[UTF8String, UTF8String]]): Column =
+    Bridge.column(KeyMapCode(Bridge.expression(docId),
+      Bridge.expression(source), bc))
 }
 
 object FileBin {
@@ -100,7 +184,15 @@ object FileBin {
 
   def lookup(v: UTF8String, binOf: java.util.HashMap[String, Integer]): Int = {
     val s = v.toString
-    val k = binOf.get(key2(s))
+    var k = binOf.get(key2(s))
+    if (k == null) {
+      // input_file_name() returns the scan path URI-ENCODED while the map
+      // is keyed by on-disk relative paths (ADVICE r3 #5): a partition
+      // value with percent-encoding characters (space, %, non-ASCII) would
+      // miss on the raw key — decode once and retry before failing.
+      try k = binOf.get(key2(java.net.URLDecoder.decode(s, "UTF-8")))
+      catch { case _: IllegalArgumentException => () } // stray % — keep null
+    }
     if (k == null)
       throw new IllegalStateException(s"file not in any compaction bin: $s")
     k.intValue()
@@ -114,6 +206,7 @@ object FileBin {
       val prev = m.put(key2(p), Integer.valueOf(k))
       require(prev == null, s"duplicate dir/basename across bins: ${key2(p)}")
     }
-    Bridge.column(FileBin(Bridge.expression(c), m))
+    val bc = SparkSession.active.sparkContext.broadcast(m)
+    Bridge.column(FileBin(Bridge.expression(c), bc))
   }
 }

@@ -109,6 +109,45 @@ object PrefixCode {
 
   def encode(s: String, n: Int): Long = encode(UTF8String.fromString(s), n)
 
+  /** Largest value ≤ v all of whose n bytes are ASCII (≤ 0x7f). Interior
+    * cut points interpolated between two ASCII codes can carry into bytes
+    * ≥ 0x80; snapping keeps `decode` a faithful single-byte-per-char
+    * string, so a string comparison against a column agrees EXACTLY with
+    * the numeric prefix-code comparison — the invariant merge-unit row
+    * filters and action routing both rely on. */
+  def asciiFloor(v: Long, n: Int): Long = {
+    var i = n - 1
+    while (i >= 0) {
+      val b = (v >>> (8 * i)) & 0xff
+      if (b > 0x7f) {
+        // clamp this byte to 0x7f and saturate everything below it
+        val high = v >>> (8 * (i + 1)) << (8 * (i + 1))
+        var low = 0x7fL
+        var j = 0
+        while (j < i) { low = (low << 8) | 0x7f; j += 1 }
+        return high | (0x7fL << (8 * i)) | (if (i == 0) 0L else low >>> 8)
+      }
+      i -= 1
+    }
+    v
+  }
+
+  /** Inverse of `encode` for all-ASCII codes: the n-char string whose
+    * prefix code is exactly v. None if any byte is ≥ 0x80 (a string
+    * bound built from it would re-encode as multi-byte UTF-8 and break
+    * byte-order agreement). */
+  def decodeAscii(v: Long, n: Int): Option[String] = {
+    val cs = new Array[Char](n)
+    var i = 0
+    while (i < n) {
+      val b = (v >>> (8 * (n - 1 - i))) & 0xff
+      if (b > 0x7f) return None
+      cs(i) = b.toChar
+      i += 1
+    }
+    Some(new String(cs))
+  }
+
   def code(c: Column, nChars: Int): Column =
     Bridge.column(PrefixCode(Bridge.expression(c), nChars))
 }

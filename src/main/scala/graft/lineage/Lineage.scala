@@ -46,6 +46,20 @@ final class LineageLog(root: String) {
       StandardOpenOption.CREATE, StandardOpenOption.APPEND)
   }
 
+  /** Touch the pass log's mtime — called at every unit START so a pass
+    * grinding through many units keeps renewing its `prune` grace window
+    * (ADVICE r3 #4: a pass stalled longer than the grace on its units
+    * while a concurrent commit advanced the table could otherwise have
+    * its log pruned and its staged dirs swept mid-flight). A single unit
+    * longer than the grace period remains out of scope — grace defaults
+    * to 24 h against units sized in GBs. */
+  def heartbeat(passId: String): Unit = synchronized {
+    val p = logPath(passId)
+    if (Files.exists(p))
+      Files.setLastModifiedTime(p,
+        java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis()))
+  }
+
   /** All records of a pass; tolerates a torn trailing line from a crash. */
   def records(passId: String): Seq[LineageRecord] = {
     val p = logPath(passId)

@@ -138,6 +138,20 @@ object Rewrite {
       case _ => None
     }
 
+  /** Deterministic pass id: operation + base snapshot version + a hash of
+    * every LAYOUT-AFFECTING config knob (ADVICE r3 #2: group membership
+    * depends on jobGroupBytes/targetFileBytes/minFileBytes/sortBy, so a
+    * crash-resume at the same snapshot with a DIFFERENT config must get a
+    * fresh pass id — reusing a `done` record whose staged output covers a
+    * different file set than the re-planned group would silently lose the
+    * difference at commit). */
+  def passId(op: String, version: Long, cfg: RewriteConfig): String = {
+    val h = java.util.Arrays.hashCode(Array[Long](
+      cfg.targetFileBytes, cfg.minBytes, cfg.groupBytes,
+      cfg.sortBy.hashCode.toLong))
+    f"$op-v$version-${h & 0xffffff}%06x"
+  }
+
   /** Greedy grouping of work items into job groups of ~groupBytes input.
     * Items must arrive in a deterministic order — group membership (hence
     * lineage unit keys) is a pure function of the item sequence. */
@@ -167,7 +181,7 @@ object Rewrite {
     val snap = table.log.current().getOrElse(sys.error("empty table"))
     val files = table.log.dataFiles(snap)
     val dict = sourceDict(snap, files)
-    val passId = s"compact-v${snap.version}"
+    val pid = passId("compact", snap.version, cfg)
     val lin = new LineageLog(table.root)
 
     val byPartition = files.groupBy(_.partition.getOrElse("source", ""))
@@ -181,26 +195,33 @@ object Rewrite {
     if (allBins.isEmpty) return snap // nothing to do — no empty commits
 
     val groups = groupBy(allBins, cfg.groupBytes)(_.bytes).zipWithIndex
-    val done = lin.completed(passId)
+    val done = lin.completed(pid)
+    // each group thunk also footer-stats its staged files: the manifest
+    // work overlaps other groups' Spark jobs instead of running serially
+    // inside the commit
     val staged = Concurrency.mapUnits(groups) { case (bins, gi) =>
       val key = s"g$gi"
       done.get(key) match {
-        case Some(rec) => (bins, table.log.absolute(rec.filesOut.head))
+        case Some(rec) =>
+          val out = table.log.absolute(rec.filesOut.head)
+          (bins, table.collectEntries(out))
         case None =>
+          lin.heartbeat(pid)
           val out = rewriteBins(table, spark, bins, cfg.sortBy, dict)
-          lin.append(LineageRecord(passId, "compact", key, "done",
+          val entries = table.collectEntries(out)
+          lin.append(LineageRecord(pid, "compact", key, "done",
             bins.iterator.map(_.files.size).sum,
             Seq(table.log.relativize(out)),
             bins.iterator.map(_.rows).sum, bins.iterator.map(_.bytes).sum, 1))
-          (bins, out)
+          (bins, entries)
       }
     }
 
     val removed = staged.flatMap(_._1).flatMap(_.files).map(_.path).toSet
-    table.commitRewrite(removed, staged.map(_._2).toSeq, nowMs, "compact",
+    table.commitRewriteEntries(removed, staged.flatMap(_._2), nowMs, "compact",
       Map("source-dict" -> dict.mkString(","),
         "bins" -> allBins.size.toString,
-        "pass-id" -> passId))
+        "pass-id" -> pid))
   }
 
   /** Rewrite one job group's bins (possibly spanning table partitions —
@@ -254,13 +275,13 @@ object Rewrite {
     val files = table.log.dataFiles(snap)
     val dict = sourceDict(snap, files)
     val op = if (cfg.sortBy == "hilbert") "hilbert" else "zorder"
-    val passId = s"$op-v${snap.version}"
+    val pid = passId(op, snap.version, cfg)
     val lin = new LineageLog(table.root)
 
     val byPartition = files.groupBy(_.partition.getOrElse("source", ""))
       .toSeq.sortBy(_._1).filter(_._2.nonEmpty)
     if (byPartition.isEmpty) return snap
-    val done = lin.completed(passId)
+    val done = lin.completed(pid)
 
     val key = sortColumn(cfg.sortBy, dict).getOrElse(col("doc_id"))
     val binSrc: Column = cfg.sortBy match {
@@ -319,12 +340,14 @@ object Rewrite {
         }.toMap
       }
 
-    // --- job 2..k: grouped whole-partition rewrites
+    // --- job 2..k: grouped whole-partition rewrites (each thunk also
+    // footer-stats its staged output — commit overlap, as in compact)
     val staged = Concurrency.mapUnits(groups) { grp =>
       val gKey = s"g-of-${grp.head._1}"
       done.get(gKey) match {
         case Some(rec) =>
-          (grp.flatMap(_._2), table.log.absolute(rec.filesOut.head))
+          (grp.flatMap(_._2),
+            table.collectEntries(table.log.absolute(rec.filesOut.head)))
         case None =>
           val paths = grp.flatMap(_._2).map(f => table.log.absolute(f.path).toString)
           // composite bin: per-source RangeBin over disjoint key slices.
@@ -350,6 +373,7 @@ object Rewrite {
                 .otherwise(acc)
           }
           val out = table.log.newDataSubdir()
+          lin.heartbeat(pid)
           spark.read.schema(TokenRow.schema).parquet(paths: _*)
             .withColumn("__sk", key)
             .withColumn("__bk", binCol)
@@ -358,16 +382,17 @@ object Rewrite {
             .drop("__sk", "__bk")
             .withColumn("p_source", col("source"))
             .write.partitionBy("p_source").parquet(out.toString)
-          lin.append(LineageRecord(passId, op, gKey, "done",
+          val entries = table.collectEntries(out)
+          lin.append(LineageRecord(pid, op, gKey, "done",
             grp.map(_._2.size).sum, Seq(table.log.relativize(out)),
             grp.flatMap(_._2).map(_.rows).sum,
             grp.flatMap(_._2).map(_.bytes).sum, 1))
-          (grp.flatMap(_._2), out)
+          (grp.flatMap(_._2), entries)
       }
     }
 
     val removed = staged.flatMap(_._1).map(_.path).toSet
-    table.commitRewrite(removed, staged.map(_._2).toSeq, nowMs, op,
-      Map("source-dict" -> dict.mkString(","), "pass-id" -> passId))
+    table.commitRewriteEntries(removed, staged.flatMap(_._2), nowMs, op,
+      Map("source-dict" -> dict.mkString(","), "pass-id" -> pid))
   }
 }

@@ -222,13 +222,16 @@ class EngineSpec extends SparkTestBase {
     one.unpersist()
   }
 
-  test("source-mutating change: broadcast path merges it like the SMJ reference") {
-    // the broadcast-anti path joins on doc_id alone, so a mutated source
-    // is handled exactly as mergeFrames would: old copy removed, new copy
-    // written under its new source; deletes apply regardless of the
-    // source value they carry
+  test("source-mutating change: broadcast path enforces the same contract") {
+    // ADVICE r3 #1: round 3's broadcast path silently applied a
+    // source-mutating action (matching on doc_id alone) while the
+    // run-scan path aborted — the provenance-immutability contract is
+    // now uniform: BOTH paths abort loudly before commit. The conflict
+    // is observed inside the unit's own write pass (KeyMapCode code 2 +
+    // Dataset.observe), so the enforcement costs no extra job.
     val t = TokenTable.create(tmpDir("graft-mutation-bc"), spark)
     t.append(Synth.table(spark, 3000, 42L, 16, 128), targetFileCount = 8, nowMs = 1L)
+    val vBefore = t.log.currentVersion().get
     val two = t.scan()._1.orderBy("doc_id").limit(2)
       .select("doc_id", "tokens", "n_tok", "source").cache()
     val mutUpsert = two.orderBy("doc_id").limit(1)
@@ -236,18 +239,25 @@ class EngineSpec extends SparkTestBase {
     val mutDelete = two.orderBy(desc("doc_id")).limit(1)
       .withColumn("source", lit("nosuchsource")).withColumn("_op", lit("delete"))
     val changes = mutUpsert.unionByName(mutDelete).cache()
-    val nBefore = t.scan()._1.count()
 
-    Merge.run(t, spark, changes, nowMs = 2L) // default threshold → broadcast
+    val e = intercept[graft.maint.MergeContractViolation] {
+      Merge.run(t, spark, changes, nowMs = 2L) // default threshold → broadcast
+    }
+    assert(e.getMessage.contains("source"))
+    assert(t.log.currentVersion().get === vBefore, "no commit on violation")
 
-    val after = t.scan()._1.cache()
-    assert(after.count() === nBefore - 1) // delete applied, upsert moved
-    assert(after.select("doc_id").distinct().count() === after.count())
+    // the legitimate way to move a document between sources:
+    // delete(stored source) in one merge, upsert(new source) in the next
     val movedKey = mutUpsert.select("doc_id").head().getString(0)
+    val delOld = two.orderBy("doc_id").limit(1).withColumn("_op", lit("delete"))
+    Merge.run(t, spark, delOld, nowMs = 3L)
+    val insNew = two.orderBy("doc_id").limit(1)
+      .withColumn("source", lit("zz_moved")).withColumn("_op", lit("upsert"))
+    Merge.run(t, spark, insNew, nowMs = 4L)
+    val after = t.scan()._1.cache()
     assert(after.filter(col("doc_id") === movedKey)
       .select("source").head().getString(0) === "zz_moved")
-    val deletedKey = mutDelete.select("doc_id").head().getString(0)
-    assert(after.filter(col("doc_id") === deletedKey).count() === 0)
+    assert(after.select("doc_id").distinct().count() === after.count())
     after.unpersist(); changes.unpersist(); two.unpersist()
   }
 
