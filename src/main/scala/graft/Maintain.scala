@@ -133,6 +133,18 @@ object Maintain {
           idx.lastScan.foreach(m => println(
             s"filesKept=${m.filesKept}/${m.filesTotal} " +
               f"pruning=${m.pruningRatio}%.3f"))
+        case "evolve" =>
+          // metadata-only ADD COLUMN: no data rewrite, scans null-fill
+          val t = TokenTable.load(root, spark)
+          val spec = opts.getOrElse("column",
+            { System.err.println("error: --column \"name type\" required"); sys.exit(2); "" })
+          val (cn, ct) = spec.split("\\s+", 2) match {
+            case Array(n, ty) => (n, ty)
+            case _ => System.err.println("error: --column needs \"name type\""); sys.exit(2); ("", "")
+          }
+          val s = t.addColumn(cn, ct, nowMs)
+          println(s"schema=${s.schemaDDL}")
+          report(t, s.version)
         case "rewrite-manifests" =>
           val t = TokenTable.load(root, spark)
           val s = Expire.rewriteManifests(t, nowMs)
@@ -199,11 +211,12 @@ object Maintain {
   }
 
   private def usage(): Unit = System.err.println(
-    """usage: graft.Maintain <init|append|compact|zorder|hilbert|merge|replace|expire|rewrite-manifests|dq|describe|scan|sql> --table <root> [options]
+    """usage: graft.Maintain <init|append|compact|zorder|hilbert|merge|replace|evolve|expire|rewrite-manifests|dq|describe|scan|sql> --table <root> [options]
       |  init/append: --rows N --seed S --files K
       |  compact/zorder/hilbert: --target-mb M [--sort-by docid|zkey|hilbert|none]
       |  merge: --updates U --inserts I --deletes D --seed S
       |  replace: --sources a,b,.. --rows N --seed S --files K   (dynamic partition overwrite)
+      |  evolve: --column "name type"   (metadata-only ADD COLUMN)
       |  expire: --retain K [--sweep-orphans [--grace-hours H]]
       |  scan: --source S --min-tok A --max-tok B
       |  sql: --query "SELECT ... FROM graft_tokens ..." [--version N]   (N = time travel)""".stripMargin)

@@ -438,6 +438,14 @@ object Merge {
   private[graft] final case class ScanRow(
       doc_id: String, tokens: Array[Int], n_tok: Int, source: String, prio: Int)
 
+  /** Evolved (addColumn) fields present in a unit scan beyond the base
+    * TokenRow shape. */
+  private def extraColumns(target: DataFrame)
+      : Seq[org.apache.spark.sql.types.StructField] = {
+    val base = TokenRow.schema.fieldNames.toSet
+    target.schema.fields.filterNot(f => base.contains(f.name)).toSeq
+  }
+
   /**
    * FUSED sorted-merge: the unit's target files and its source slice are
    * unioned (tagged with an action priority), range-binned ONCE into the
@@ -473,17 +481,30 @@ object Merge {
    */
   private[graft] def fusedMergeWrite(target: DataFrame, srcU: DataFrame,
       files: Seq[DataFile], targetBytes: Long, out: Path): (Long, Long) = {
+    // evolved (addColumn) columns beyond the base TokenRow shape: target
+    // rows must CARRY them through the rewrite; change rows supply them
+    // when present in the change-set, else null (the upsert "didn't know"
+    // the column — same semantics as a pre-evolution file)
+    val extras = extraColumns(target)
     val t = target.withColumn("prio", lit(0))
-    val s = srcU.select(col("doc_id"), col("tokens"), col("n_tok"),
+    val s = srcU.select(Seq(col("doc_id"), col("tokens"), col("n_tok"),
       col("source"),
-      when(col(opCol) === "delete", lit(2)).otherwise(lit(1)).as("prio"))
+      when(col(opCol) === "delete", lit(2)).otherwise(lit(1)).as("prio")) ++
+      extras.map { f =>
+        (if (srcU.columns.contains(f.name)) col(f.name)
+         else lit(null).cast(f.dataType)).as(f.name)
+      }: _*)
     val all = t.unionByName(s)
     val (binCol, totalBins) = binColumn(files, targetBytes)
     val spark = target.sparkSession
     val binned = all.withColumn("__bk", binCol)
       .repartition(totalBins, col("__bk"))
 
-    if (sys.env.get("SPARK_GRAFT_MERGE_RUNSCAN").contains("iter")) {
+    if (extras.isEmpty &&
+        sys.env.get("SPARK_GRAFT_MERGE_RUNSCAN").contains("iter")) {
+      // (the iterator A/B formulation encodes to the fixed ScanRow shape,
+      // so it only runs on unevolved tables; the window path below is
+      // schema-generic)
       // iterator reference formulation (round-3 production path)
       import spark.implicits._
       val lonelyUp = spark.sparkContext.longAccumulator("merge-lonely-upserts")
@@ -577,8 +598,15 @@ object Merge {
           .iterator.map(r => (r.getString(0), r.getString(1))))
       spark.sparkContext.broadcast(m)
     }
+    // evolved columns ride through on kept target rows; change rows
+    // supply them when present, else null (see fusedMergeWrite)
+    val extras = extraColumns(target)
     val upserts = srcU.filter(col(opCol) =!= "delete")
-      .select("doc_id", "tokens", "n_tok", "source")
+      .select(Seq("doc_id", "tokens", "n_tok", "source").map(col) ++
+        extras.map { f =>
+          (if (srcU.columns.contains(f.name)) col(f.name)
+           else lit(null).cast(f.dataType)).as(f.name)
+        }: _*)
     val obs = Observation()
     val kept = target
       .withColumn("__mc", KeyMapCode.of(col("doc_id"), col("source"), bc))
@@ -586,7 +614,6 @@ object Merge {
         sum(when(col("__mc") === 2, 1L).otherwise(0L)).as("conflicts"))
       .filter(col("__mc") === 0)
       .drop("__mc")
-      .select("doc_id", "tokens", "n_tok", "source")
     val merged = kept.unionByName(upserts)
     val (binCol, totalBins) = binColumn(files, targetBytes)
     merged.withColumn("__bk", binCol)
@@ -710,8 +737,15 @@ object Merge {
       // insert unit planning (driver-only): keys outside every touched
       // range; deletes are no-ops there. Row count comes from the cell
       // summary (no extra count job).
+      // inserts carry evolved columns the change-set supplies; columns it
+      // doesn't supply are simply absent from the new files (scans fill
+      // null — same as any pre-evolution file)
+      val insCols = Seq("doc_id", "tokens", "n_tok", "source") ++
+        table.schemaOf(snap).fieldNames
+          .filterNot(TokenRow.schema.fieldNames.contains)
+          .filter(src.columns.contains)
       val insDF = src.filter(unitOf === -1 && col(opCol) =!= "delete")
-        .select("doc_id", "tokens", "n_tok", "source")
+        .select(insCols.map(col): _*)
       def outsideUnits(cell: Long): Boolean =
         !units.exists(u => u.lo <= cell && cell <= u.hi)
       val insRows = plan.cells match {
@@ -754,7 +788,9 @@ object Merge {
             case Some(rec) =>
               entriesOf(table.log.absolute(rec.filesOut.head))
             case None =>
-              val scan = spark.read.schema(TokenRow.schema)
+              // snapshot schema, not the fixed base: rewrites must CARRY
+              // evolved (addColumn) columns; pre-evolution files read null
+              val scan = spark.read.schema(table.schemaOf(snap))
                 .parquet(u.files.map(f => table.log.absolute(f.path).toString): _*)
               // confine to the unit's range: a file crossing a split cut
               // is scanned by both neighbors, each keeping its own rows

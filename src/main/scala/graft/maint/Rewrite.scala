@@ -207,7 +207,8 @@ object Rewrite {
           (bins, table.collectEntries(out))
         case None =>
           lin.heartbeat(pid)
-          val out = rewriteBins(table, spark, bins, cfg.sortBy, dict)
+          val out = rewriteBins(table, spark, bins, cfg.sortBy, dict,
+            table.schemaOf(snap))
           val entries = table.collectEntries(out)
           lin.append(LineageRecord(pid, "compact", key, "done",
             bins.iterator.map(_.files.size).sum,
@@ -229,7 +230,8 @@ object Rewrite {
     * job; each bin → exactly one output task → one file per source in the
     * bin (bins are partition-pure, so exactly one). */
   private def rewriteBins(table: TokenTable, spark: SparkSession,
-      bins: Seq[Bin], sortBy: String, dict: Seq[String]): Path = {
+      bins: Seq[Bin], sortBy: String, dict: Seq[String],
+      schema: org.apache.spark.sql.types.StructType): Path = {
     val nBins = bins.size
     val binKeys = ExactPartition.keys(nBins)
     // file basename -> exact-placement key of its bin: O(1) hash lookup in
@@ -241,7 +243,9 @@ object Rewrite {
     }
     val paths = bins.flatMap(_.files).map(f => table.log.absolute(f.path).toString)
     val out = table.log.newDataSubdir()
-    val base = spark.read.schema(TokenRow.schema).parquet(paths: _*)
+    // read under the snapshot schema: rewrites must CARRY evolved columns
+    // (reading the fixed base schema here would silently drop them)
+    val base = spark.read.schema(schema).parquet(paths: _*)
       .withColumn("__bk", graft.functions.FileBin.bin(input_file_name(), pairs))
       .repartition(nBins, col("__bk"))
     val sorted = sortColumn(sortBy, dict) match {
@@ -374,7 +378,7 @@ object Rewrite {
           }
           val out = table.log.newDataSubdir()
           lin.heartbeat(pid)
-          spark.read.schema(TokenRow.schema).parquet(paths: _*)
+          spark.read.schema(table.schemaOf(snap)).parquet(paths: _*)
             .withColumn("__sk", key)
             .withColumn("__bk", binCol)
             .repartition(base, col("__bk"))

@@ -50,11 +50,12 @@ object ParquetStats {
           if (tpe != null) {
             val st = col.getStatistics
             val nulls = if (st != null && st.isNumNullsSet) st.getNumNulls else 0L
-            val (mn: String, mx: String) =
-              if (st != null && st.hasNonNullValue)
-                (render(st.genericGetMin.asInstanceOf[AnyRef], tpe),
-                 render(st.genericGetMax.asInstanceOf[AnyRef], tpe))
-              else (null: String, null: String)
+            // no typed tuple pattern here: an ALL-NULL column (e.g. a
+            // freshly added evolved column) has (null, null) min/max and
+            // `(mn: String, ...)` is a runtime type TEST that null fails
+            val hasVals = st != null && st.hasNonNullValue
+            val mn = if (hasVals) render(st.genericGetMin.asInstanceOf[AnyRef], tpe) else null
+            val mx = if (hasVals) render(st.genericGetMax.asInstanceOf[AnyRef], tpe) else null
             val vc = block.getRowCount
             acc.get(name) match {
               case None => acc(name) = ColStats(tpe, mn, mx, nulls, vc)

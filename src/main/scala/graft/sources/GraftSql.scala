@@ -123,7 +123,11 @@ object GraftSql {
     val relation = HadoopFsRelation(
       location = index,
       partitionSchema = StructType(Nil),
-      dataSchema = TokenRow.schema,
+      // snapshot schema: a version pinned BEFORE an addColumn evolution
+      // serves the old shape; the current view unifies evolved columns
+      // (null-filled for pre-evolution files) — SQL sees time-travelled
+      // schemas, not just time-travelled rows
+      dataSchema = table.schemaOf(snap),
       bucketSpec = None,
       fileFormat = new ParquetFileFormat,
       options = Map.empty[String, String])(
