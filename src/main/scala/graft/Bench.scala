@@ -76,6 +76,7 @@ object Bench {
     val s = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName(s"graft-bench-$cpus")
+      .config("spark.sql.extensions", "graft.sources.GraftExtensions")
       .config("spark.local.dir", localDir)
       // Raw local FS: Hadoop's default LocalFileSystem checksums every
       // write/read in 512-byte chunks and keeps .crc sidecars — pure

@@ -35,6 +35,7 @@ object Maintain {
     val s = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]"))
       .appName("graft-maintain")
+      .config("spark.sql.extensions", "graft.sources.GraftExtensions")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.hadoop.fs.file.impl", "org.apache.hadoop.fs.RawLocalFileSystem")
       .config("spark.sql.files.maxPartitionBytes", (32L * 1024 * 1024).toString)

@@ -1,0 +1,108 @@
+package graft.sources
+
+import org.apache.spark.sql.{Row, SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.plans.logical.{InsertIntoStatement, LogicalPlan, SubqueryAlias}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.graft.Bridge
+
+/**
+ * SQL write front door (VERDICT r3 next-step 8): a
+ * `SparkSessionExtensions` resolution rule that intercepts
+ * `INSERT INTO <graft view>` during analysis and rewrites it into a
+ * command that commits through the engine's snapshot log — the custom
+ * LogicalPlan + Rule route (SURVEY.md §2 U-tier) rather than a write
+ * bypass. Without it, Spark's own file-source insert path would "succeed"
+ * by dropping unregistered parquet files into the table root — invisible
+ * to every scan (observed, see GraftParquetFormat which now blocks that
+ * path loudly).
+ *
+ * Enable with `.config("spark.sql.extensions", "graft.sources.GraftExtensions")`
+ * (Maintain.session and the test/bench sessions do). Semantics:
+ *  - `INSERT INTO v SELECT ...` → `TokenTable.append` → new snapshot.
+ *  - `INSERT OVERWRITE v SELECT ...` → dynamic partition overwrite
+ *    (`TokenTable.replacePartitions`): exactly the `source` partitions
+ *    present in the query result are replaced — the reference's
+ *    partitionOverwriteMode=dynamic write as SQL.
+ *  - The TARGETED VIEW stays pinned to its registration snapshot (reads
+ *    are time-travel-stable); re-register to see the new version.
+ */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    ext.injectResolutionRule(_ => GraftInsertRule)
+}
+
+object GraftInsertRule extends Rule[LogicalPlan] {
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.resolveOperators {
+    case i: InsertIntoStatement if i.query.resolved && graftOf(i.table).isDefined =>
+      require(i.partitionSpec.isEmpty,
+        "static PARTITION specs are not supported on a graft table: `source` " +
+        "is a data column — put it in the SELECT (dynamic overwrite replaces " +
+        "the sources present in the result)")
+      GraftInsertCommand(graftOf(i.table).get, i.query,
+        i.overwrite, i.byName, i.userSpecifiedCols)
+  }
+
+  private def graftOf(p: LogicalPlan): Option[GraftFileIndex] = p match {
+    case SubqueryAlias(_, child) => graftOf(child)
+    case lr: LogicalRelation => lr.relation match {
+      case fs: HadoopFsRelation => fs.location match {
+        case g: GraftFileIndex => Some(g)
+        case _ => None
+      }
+      case _ => None
+    }
+    case _ => None
+  }
+}
+
+/** Runs the resolved query and commits its rows through the engine.
+  * A LEAF command on purpose: `query` is already fully resolved when the
+  * rule fires, and keeping it out of `children` stops the analyzer from
+  * re-resolving it against the command's (empty) output. */
+final case class GraftInsertCommand(index: GraftFileIndex, query: LogicalPlan,
+    overwrite: Boolean, byName: Boolean, userCols: Seq[String])
+    extends LeafRunnableCommand {
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val table = index.table
+    // commit against the CURRENT snapshot (the view's pin is a read
+    // property; writes always advance the table head)
+    val schema = table.schema()
+    val df0 = Bridge.ofRows(spark, query)
+    val named =
+      if (userCols.nonEmpty) {
+        require(userCols.length == df0.columns.length,
+          s"INSERT column list has ${userCols.length} names for " +
+          s"${df0.columns.length} query columns")
+        df0.toDF(userCols: _*)
+      } else df0
+    val conformed =
+      if (byName || userCols.nonEmpty) {
+        val missing = schema.fieldNames.filterNot(named.columns.contains)
+        require(missing.forall(f => schema(f).nullable),
+          s"INSERT misses non-nullable column(s): ${missing.mkString(", ")}")
+        named.select(schema.fields.filter(f => named.columns.contains(f.name))
+          .map(f => col(f.name).cast(f.dataType).as(f.name)): _*)
+      } else {
+        require(named.columns.length == schema.length,
+          s"INSERT query has ${named.columns.length} columns; table has " +
+          s"${schema.length} (${schema.fieldNames.mkString(", ")})")
+        named.select(named.columns.zip(schema.fields).map {
+          case (c, f) => col(c).cast(f.dataType).as(f.name)
+        }: _*)
+      }
+    // file count from the PLAN's size estimate, clamped: inserts land in a
+    // modest number of range-clustered files and the next compaction folds
+    // them into the layout (same contract as merge's insert unit)
+    val est = query.stats.sizeInBytes
+    val files = math.max(1, math.min(64,
+      (est / (128L * 1024 * 1024)).toLong)).toInt
+    val nowMs = System.currentTimeMillis()
+    if (overwrite) table.replacePartitions(conformed, files, nowMs)
+    else table.append(conformed, files, nowMs, operation = "sql_insert")
+    Seq.empty
+  }
+}

@@ -36,7 +36,7 @@ import graft.meta.Snapshot
  * broadcast decisions see honest statistics (SupportsReportStatistics
  * equivalent).
  */
-final class GraftFileIndex(table: TokenTable, snap: Snapshot,
+final class GraftFileIndex(val table: TokenTable, snap: Snapshot,
     spark: SparkSession) extends FileIndex {
 
   private val files = table.log.dataFiles(snap)
@@ -111,6 +111,29 @@ final class GraftFileIndex(table: TokenTable, snap: Snapshot,
   }
 }
 
+/**
+ * Read-capable, write-BLOCKING parquet format for graft relations. Spark's
+ * V1 file-source insert path (InsertIntoHadoopFsRelationCommand) would
+ * otherwise "succeed" an `INSERT INTO <graft view>` by writing parquet
+ * files straight into rootPaths — unregistered in any manifest, invisible
+ * to every scan, sitting as garbage next to meta/ (observed on a probe
+ * table). With the graft extensions installed (GraftExtensions) inserts
+ * are intercepted during ANALYSIS and never reach this; without them the
+ * user gets a loud error instead of silent row loss.
+ */
+final class GraftParquetFormat extends ParquetFileFormat {
+  override def prepareWrite(sparkSession: SparkSession,
+      job: org.apache.hadoop.mapreduce.Job,
+      options: Map[String, String],
+      dataSchema: StructType)
+      : org.apache.spark.sql.execution.datasources.OutputWriterFactory =
+    throw new UnsupportedOperationException(
+      "direct file writes into a graft table bypass the snapshot log and " +
+      "would be invisible to scans. Enable the engine's SQL write path " +
+      "(.config(\"spark.sql.extensions\", \"graft.sources.GraftExtensions\")) " +
+      "or commit through TokenTable.append / the graft.Maintain CLI")
+}
+
 object GraftSql {
 
   /** Snapshot-pinned DataFrame over the table through the native parquet
@@ -129,7 +152,7 @@ object GraftSql {
       // schemas, not just time-travelled rows
       dataSchema = table.schemaOf(snap),
       bucketSpec = None,
-      fileFormat = new ParquetFileFormat,
+      fileFormat = new GraftParquetFormat,
       options = Map.empty[String, String])(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession])
     (Bridge.ofRows(spark, LogicalRelation(relation)), index)

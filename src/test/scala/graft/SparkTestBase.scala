@@ -15,6 +15,7 @@ object SparkTestBase {
     val s = SparkSession.builder()
       .master("local[8]")
       .appName("graft-test")
+      .config("spark.sql.extensions", "graft.sources.GraftExtensions")
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")

@@ -60,6 +60,45 @@ class SqlSpec extends SparkTestBase {
     assert(df1.count() === before + 500) // fresh handle sees the append
   }
 
+  test("INSERT INTO commits a snapshot; the pinned view serves the pre-insert version") {
+    val before = table.describe()("rows").toLong
+    val vBefore = table.log.currentVersion().get
+    GraftSql.register(spark, table, "graft_ins")
+    spark.sql(
+      """INSERT INTO graft_ins
+        |SELECT concat('ins-', doc_id) AS doc_id, tokens, n_tok, source
+        |FROM graft_ins WHERE source = 'code' AND n_tok < 64""".stripMargin)
+    val added = spark.sql(
+      "SELECT count(*) FROM graft_ins WHERE source = 'code' AND n_tok < 64")
+      .head().getLong(0)
+    assert(added > 0)
+    // a NEW snapshot landed with exactly those rows appended
+    assert(table.log.currentVersion().get === vBefore + 1)
+    val snap = table.log.current().get
+    assert(snap.operation === "sql_insert")
+    assert(table.describe()("rows").toLong === before + added)
+    // the registered view stays pinned at the pre-insert snapshot
+    assert(spark.sql("SELECT count(*) FROM graft_ins").head().getLong(0) === before)
+    // a fresh registration sees the inserted rows
+    GraftSql.register(spark, table, "graft_ins2")
+    assert(spark.sql("SELECT count(*) FROM graft_ins2 WHERE doc_id LIKE 'ins-%'")
+      .head().getLong(0) === added)
+  }
+
+  test("INSERT OVERWRITE replaces exactly the sources present in the result") {
+    GraftSql.register(spark, table, "graft_ovw")
+    val othersBefore = table.scan()._1.filter(col("source") =!= "legal").count()
+    spark.sql(
+      """INSERT OVERWRITE graft_ovw
+        |SELECT concat('ovw-', cast(id AS string)) AS doc_id,
+        |       array(1, 2, 3) AS tokens, 3 AS n_tok, 'legal' AS source
+        |FROM range(100)""".stripMargin)
+    val df = table.scan()._1
+    assert(df.filter(col("source") === "legal").count() === 100) // replaced
+    assert(df.filter(col("source") =!= "legal").count() === othersBefore) // untouched
+    assert(table.log.current().get.operation === "replace_partitions")
+  }
+
   test("time travel: a view registered at an old version serves it via spark.sql") {
     // (runs after the pinning test's append — history has >= 2 data versions)
     val versions = table.log.versions()
