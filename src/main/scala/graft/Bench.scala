@@ -440,23 +440,69 @@ object Bench {
     // only if the first pair's measured wall cost fits the remaining
     // budget — the deadline is checked INSIDE the loop, per level.
     var pairCost = 0.0 // measured wall seconds of the slowest completed pair
-    val (lo4, lo1) =
-      if (doScaling) {
-        val pairs = (1 to runs).map { r =>
-          if (r > 1 && remainingS < pairCost * 1.1) { truncated = true; (None, None) }
-          else {
-            val t0 = System.nanoTime()
-            val hi4 = phase(s"maint-$scale4Cpus", required = r == 1,
-              estCost = pairCost * 0.3)(cooled(maintenance(scale4Cpus, scaleRows)))
-            val loN = phase(s"maint-$scaleCpus", required = r == 1,
-              estCost = pairCost * 0.7)(cooled(maintenance(scaleCpus, scaleRows)))
-            pairCost = math.max(pairCost, (System.nanoTime() - t0) / 1e9)
-            (hi4, loN)
-          }
+    var cost4 = 0.0 // measured wall of one 4N-level pipeline (incl. cooldown)
+    var costN = 0.0 // measured wall of one N-level pipeline
+    var lo4: Option[Map[String, StageStat]] = None
+    var lo1: Option[Map[String, StageStat]] = None
+    def foldLevel(acc: Option[Map[String, StageStat]],
+        next: Option[Map[String, StageStat]]): Option[Map[String, StageStat]] =
+      (acc, next) match {
+        case (Some(a), Some(b)) => Some(minStages(a, b))
+        case _ => acc.orElse(next)
+      }
+    def run4(required: Boolean): Unit = {
+      val t0 = System.nanoTime()
+      val r = phase(s"maint-$scale4Cpus", required = required,
+        estCost = math.max(cost4, pairCost * 0.3))(
+        cooled(maintenance(scale4Cpus, scaleRows)))
+      if (r.isDefined) cost4 = (System.nanoTime() - t0) / 1e9
+      lo4 = foldLevel(lo4, r)
+    }
+    def runN(required: Boolean): Unit = {
+      val t0 = System.nanoTime()
+      val r = phase(s"maint-$scaleCpus", required = required,
+        estCost = math.max(costN, pairCost * 0.7))(
+        cooled(maintenance(scaleCpus, scaleRows)))
+      if (r.isDefined) costN = (System.nanoTime() - t0) / 1e9
+      lo1 = foldLevel(lo1, r)
+    }
+    if (doScaling) {
+      (1 to runs).foreach { r =>
+        if (r > 1 && remainingS < pairCost * 1.1) truncated = true
+        else {
+          val t0 = System.nanoTime()
+          run4(required = r == 1)
+          runN(required = r == 1)
+          pairCost = math.max(pairCost, (System.nanoTime() - t0) / 1e9)
         }
-        (pairs.flatMap(_._1).reduceOption(minStages),
-         pairs.flatMap(_._2).reduceOption(minStages))
-      } else (None, None)
+      }
+      // CONTENTION GUARD: nothing in this engine scales superlinearly, and
+      // per-job quiet-window scaling never measured below ~0.5 — so a
+      // gated-stage efficiency > 1.05 means the N level ran inside a
+      // contended host window (observed: a 2-core pipeline 12x slower than
+      // its 8-core sibling minutes earlier, eff "3.1"), and < 0.40 means
+      // the 4N level did. Re-run ONLY the suspect level while the budget
+      // allows (its wall cost is now measured) and fold by per-stage min —
+      // a driver artifact with a physically impossible ratio is worse than
+      // one that spent its slack re-measuring.
+      val gatedStages = Seq("append", "compact", "zorder", "merge")
+      def gatedEffs: Seq[Double] = gatedStages.flatMap { st =>
+        for (n <- lo1.flatMap(_.get(st)); n4 <- lo4.flatMap(_.get(st)))
+          yield (n.sec * scaleCpus) / (n4.sec * scale4Cpus)
+      }
+      var guards = 2
+      var acted = true
+      while (guards > 0 && acted) {
+        acted = false
+        val effs = gatedEffs
+        if (effs.exists(_ > 1.05) && remainingS > costN * 1.1) {
+          runN(required = false); acted = true
+        } else if (effs.exists(_ < 0.40) && remainingS > cost4 * 1.1) {
+          run4(required = false); acted = true
+        }
+        guards -= 1
+      }
+    }
 
     // 4. absolute throughput at the full core count (single run — the
     // scaling gate lives on the pair above; this is the headline number).

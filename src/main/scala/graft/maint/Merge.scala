@@ -362,16 +362,30 @@ object Merge {
   /** Row filter confining a unit's target scan to its [lo,hi] prefix
     * range — only meaningful where a neighboring unit shares a file
     * (interior split cuts, which are ASCII by construction). Plain string
-    * comparisons so parquet row-group pruning applies. Assumes keys of ≥ c
-    * chars (true for the engine's fixed-width hex doc_ids; PrefixCode
-    * already documents the ASCII-key assumption). */
+    * comparisons so parquet row-group pruning applies.
+    *
+    * TRAILING NULs MUST BE STRIPPED from the decoded bound: `encode`
+    * zero-pads keys shorter than c chars, so the key "0" sits numerically
+    * AT the cut 0x30000000 — but against the raw decoded string
+    * "0<NUL><NUL><NUL>" the string comparison says "0" < bound
+    * (shorter-prefix-smaller) and the row falls off BOTH sides of the cut
+    * (observed: doc_id "0" lost from m03's variable-length decimal ids).
+    * With trailing NULs stripped, byte-lexicographic string comparison
+    * agrees exactly with the zero-padded numeric comparison for every
+    * ASCII key of ANY length: at the first differing in-range byte the
+    * two orders coincide, and a key that is a strict prefix of the bound
+    * compares smaller in both orders once the bound carries no padding. */
   private def unitRangeFilter(u: MergeUnit, c: Int): Option[Column] = {
+    def bound(v: Long): Option[String] =
+      PrefixCode.decodeAscii(v, c)
+        .map(_.reverse.dropWhile(_ == '\u0000').reverse)
+        
     val lower =
       if (u.lo <= 0) None
-      else PrefixCode.decodeAscii(u.lo, c).map(s => col("doc_id") >= lit(s))
+      else bound(u.lo).map(s => col("doc_id") >= lit(s))
     val upper =
       if (u.hi >= maxCode(c)) None
-      else PrefixCode.decodeAscii(u.hi + 1, c).map(s => col("doc_id") < lit(s))
+      else bound(u.hi + 1).map(s => col("doc_id") < lit(s))
     (lower, upper) match {
       case (Some(a), Some(b)) => Some(a && b)
       case (a, b) => a.orElse(b)

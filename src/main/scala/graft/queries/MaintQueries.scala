@@ -214,6 +214,33 @@ object MaintQueries {
           Seq("kind"), "left")
         .na.fill(0L, Seq("n_frames"))
         .orderBy("kind")
+    }),
+
+    // schema evolution + SQL write path: ADD COLUMN is metadata-only, a
+    // second generation lands THROUGH spark.sql INSERT INTO (which must
+    // commit a real snapshot), and compaction must CARRY the evolved
+    // values through the rewrite. Oracle recomputes the unified state:
+    // original rows read quality as NULL, inserted rows carry an exact
+    // integer-valued double (sums exact as BIGINT in both engines).
+    "m08_evolve_insert" -> ((s, dir) => {
+      val t = freshTable(s, dir, "evolve")
+      t.addColumn("quality", "double", nowMs = 2L)
+      graft.sources.GraftSql.register(s, t, "m08_target")
+      fixture(s, dir).createOrReplaceTempView("m08_src")
+      s.sql(
+        """INSERT INTO m08_target
+          |SELECT concat('v2-', doc_id) AS doc_id, tokens, n_tok, source,
+          |       CAST(pmod(n_tok, 97) AS DOUBLE) AS quality
+          |FROM m08_src""".stripMargin)
+      Rewrite.compact(t, s, RewriteConfig(targetFileBytes = 64L * 1024,
+        sortBy = "docid"), nowMs = 3L)
+      t.scan()._1.groupBy("source").agg(
+        count(lit(1)).as("n_rows"),
+        sum(col("n_tok").cast("long")).as("sum_tok"),
+        sum(rowFp).as("fp_sum"),
+        count(col("quality")).as("n_quality"),
+        coalesce(sum(col("quality")), lit(0.0)).cast("long").as("sum_quality"))
+        .orderBy("source")
     }))
 
   /** `{SF_DIR}` survives manifestDumpPath's '/'-mangling untouched;
@@ -285,6 +312,25 @@ object MaintQueries {
         |WHERE len(string_split(text,' ')) BETWEEN 20 AND 70
         |  AND source IN ('src3', 'src7')
         |GROUP BY source ORDER BY source""".stripMargin,
+
+    "m08_evolve_insert" ->
+      """WITH unified AS (
+        |  SELECT CAST(doc_id AS VARCHAR) AS doc_id, source,
+        |    list_transform(string_split(text,' '), w -> length(w)) AS toks,
+        |    CAST(NULL AS DOUBLE) AS quality
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT 'v2-' || CAST(doc_id AS VARCHAR) AS doc_id, source,
+        |    list_transform(string_split(text,' '), w -> length(w)) AS toks,
+        |    CAST(mod(len(string_split(text,' ')), 97) AS DOUBLE) AS quality
+        |  FROM documents)
+        |SELECT source, count(*) AS n_rows,
+        |  CAST(sum(len(toks)) AS BIGINT) AS sum_tok,
+        |  CAST(sum(CAST(('0x' || substr(md5(doc_id || ':' ||
+        |    array_to_string(toks, ',')), 1, 12)) AS BIGINT)) AS BIGINT) AS fp_sum,
+        |  count(quality) AS n_quality,
+        |  CAST(COALESCE(sum(quality), 0) AS BIGINT) AS sum_quality
+        |FROM unified GROUP BY source ORDER BY source""".stripMargin,
 
     "m05_salted_agg" ->
       """SELECT source,

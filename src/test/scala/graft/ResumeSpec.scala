@@ -123,6 +123,38 @@ class ResumeSpec extends SparkTestBase {
     assert(fp2 === fullFp)
   }
 
+  test("unit split cuts lose no rows on variable-length keys (short-key padding)") {
+    // Regression: PrefixCode.encode zero-pads keys shorter than the cell
+    // width, so key "0" sits numerically AT a cut like 0x30000000 — but
+    // the unit scan's STRING bound, decoded with its padding as literal
+    // NULs, excluded "0" from BOTH sides of the cut (shorter-prefix-
+    // smaller) and the untouched row vanished from the merge output
+    // (observed via m03's decimal ids). Bounds now strip trailing NULs.
+    import graft.maint.Merge
+    import org.apache.spark.sql.functions.{concat, lit => slit}
+    val root = tmpDir("graft-shortkey")
+    val t = TokenTable.create(root, spark)
+    // decimal string ids "0".."2999": lengths 1-4, includes the minimal key
+    val base = spark.range(3000).select(
+      col("id").cast("string").as("doc_id"),
+      org.apache.spark.sql.functions.array_repeat(
+        (col("id") % 100).cast("int"), 8).as("tokens"),
+      slit(8).as("n_tok"),
+      concat(slit("src"), (col("id") % 4).cast("string")).as("source"))
+    t.append(base, targetFileCount = 24, nowMs = 1L)
+    val picked = base
+      .filter((org.apache.spark.sql.functions.pmod(
+        org.apache.spark.sql.functions.xxhash64(col("doc_id")), slit(7))) === 0)
+      .withColumn("_op", slit("upsert"))
+    // tiny unit target → many split cuts, some landing on padded codes
+    Merge.run(t, spark, picked, nowMs = 2L,
+      targetFileBytes = 256L * 1024, unitTargetBytes = 64L * 1024)
+    val out = t.scan()._1
+    assert(out.count() === 3000) // upserts only — every row must survive
+    val missing = base.select("doc_id").exceptAll(out.select("doc_id")).count()
+    assert(missing === 0)
+  }
+
   test("torn trailing lineage line is tolerated and the unit re-runs") {
     val root = tmpDir("graft-torn")
     val t = TokenTable.create(root, spark)
