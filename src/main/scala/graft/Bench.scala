@@ -99,6 +99,17 @@ object Bench {
         sys.env.getOrElse("SPARK_GRAFT_ZSTD_LEVEL", "1"))
       .config("spark.sql.parquet.compression.codec", "zstd")
       .config("spark.hadoop.parquet.writer.version", "v2")
+      // bound fused-task memory: writer row groups at the file target
+      // (not the 128 MB default buffer) and plain stream reads instead
+      // of vectored range buffers — see Maintain.session
+      .config("spark.hadoop.parquet.block.size", (32L * 1024 * 1024).toString)
+      .config("spark.hadoop.parquet.hadoop.vectored.io.enabled", "false")
+      .config("spark.sql.parquet.columnarReaderBatchSize", "1024")
+      // no-sort concurrent partition writers + single-file scan tasks:
+      // see Maintain.session (the dynamic-partition sort materialized
+      // whole task inputs and spilled GBs at 32 fused tasks)
+      .config("spark.sql.maxConcurrentOutputFileWriters", "4")
+      .config("spark.sql.files.openCostInBytes", (32L * 1024 * 1024).toString)
       .config("spark.shuffle.file.buffer", "1m")
       // scans pass EXACT file paths; with >32 of them Spark launches a
       // distributed listing job (~0.3-0.5 s of pure dispatch floor) before
@@ -248,12 +259,6 @@ object Bench {
       }
       val bytes2 = t.describe()("bytes").toLong
 
-      val (_, tZorder, gZorder) = time {
-        Rewrite.cluster(t, spark,
-          RewriteConfig(targetFileBytes = target, sortBy = "zkey"), nowMs = 3L)
-      }
-      val bytes3 = t.describe()("bytes").toLong
-
       val nChange = math.max(1000L, rows / 50)
       // change-sets are MATERIALIZED to parquet before the clock starts: a
       // real merge's source arrives as data, and timing the synthetic
@@ -264,25 +269,38 @@ object Bench {
         df.write.parquet(p)
         spark.read.parquet(p)
       }
+
+      // range-local merge runs on the doc_id-COMPACTED layout (tight
+      // per-file doc_id spans → manifest-range pruning skips most files).
+      // It runs BEFORE zorder since round 4's copy-forward merge no
+      // longer re-sorts the table — layout comes from clustering passes,
+      // merges preserve whatever layout they find (the Delta/Iceberg
+      // contract).
+      val changesLocal = materialize(Synth.changeSetLocal(spark, rows, 42L,
+        updates = nChange, minTok = 16, maxTok = 512), "changes-local")
+      val (_, tMergeL, gMergeL) = time {
+        Merge.run(t, spark, changesLocal, nowMs = 3L, targetFileBytes = target)
+      }
+      val ratioLocal = t.log.current().flatMap(_.summary.get("touched-ratio"))
+        .getOrElse("?")
+      val bytes3 = t.describe()("bytes").toLong
+
+      val (_, tZorder, gZorder) = time {
+        Rewrite.cluster(t, spark,
+          RewriteConfig(targetFileBytes = target, sortBy = "zkey"), nowMs = 4L)
+      }
+      val bytes4 = t.describe()("bytes").toLong
+
+      // uniform merge on the zkey-clustered layout: every file is touched;
+      // the copy-forward path streams the touched bytes once (no exchange,
+      // no sort) and lands the change rows as new ranged files
       val changes = materialize(Synth.changeSet(spark, rows, 42L,
         updates = nChange, inserts = nChange / 2, deletes = nChange / 4,
         minTok = 16, maxTok = 512), "changes-uniform")
       val (_, tMerge, gMerge) = time {
-        Merge.run(t, spark, changes, nowMs = 4L, targetFileBytes = target)
+        Merge.run(t, spark, changes, nowMs = 5L, targetFileBytes = target)
       }
       val ratioMerge = t.log.current().flatMap(_.summary.get("touched-ratio"))
-        .getOrElse("?")
-      val bytes4 = t.describe()("bytes").toLong
-
-      // range-local merge: touched keys confined to one doc_id prefix
-      // slice — on the clustered layout the manifest-range pruning skips
-      // most files (the uniform change-set above necessarily touches all)
-      val changesLocal = materialize(Synth.changeSetLocal(spark, rows, 42L,
-        updates = nChange, minTok = 16, maxTok = 512), "changes-local")
-      val (_, tMergeL, gMergeL) = time {
-        Merge.run(t, spark, changesLocal, nowMs = 5L, targetFileBytes = target)
-      }
-      val ratioLocal = t.log.current().flatMap(_.summary.get("touched-ratio"))
         .getOrElse("?")
       val bytes5 = t.describe()("bytes").toLong
 
@@ -308,11 +326,11 @@ object Bench {
       Map(
         "append" -> StageStat(tAppend, rows, bytes1, Map("gc_ms" -> gAppend.toString)),
         "compact" -> StageStat(tCompact, rows, bytes1, Map("gc_ms" -> gCompact.toString)),
-        "zorder" -> StageStat(tZorder, rows, bytes2, Map("gc_ms" -> gZorder.toString)),
-        "merge" -> StageStat(tMerge, rows, bytes3,
-          Map("touched_ratio" -> ratioMerge, "gc_ms" -> gMerge.toString)),
-        "merge_local" -> StageStat(tMergeL, nChange, bytes4,
+        "merge_local" -> StageStat(tMergeL, nChange, bytes2,
           Map("touched_ratio" -> ratioLocal, "gc_ms" -> gMergeL.toString)),
+        "zorder" -> StageStat(tZorder, rows, bytes3, Map("gc_ms" -> gZorder.toString)),
+        "merge" -> StageStat(tMerge, rows, bytes4,
+          Map("touched_ratio" -> ratioMerge, "gc_ms" -> gMerge.toString)),
         "probe_scan_agg" -> StageStat(tProbe, rows, bytes5, Map("gc_ms" -> gProbe.toString)))
     } finally {
       spark.stop()

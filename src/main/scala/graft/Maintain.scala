@@ -42,6 +42,30 @@ object Maintain {
       .config("spark.io.compression.codec", "zstd")
       .config("spark.sql.parquet.compression.codec", "zstd")
       .config("spark.hadoop.parquet.writer.version", "v2")
+      // writer row-group buffers sized to the engine's actual file
+      // targets: the 128 MB default makes every open writer grow a
+      // 128 MB column buffer, and the copy-forward merge fuses read +
+      // write into ONE task — 32 concurrent fused tasks × (vectored-read
+      // range buffers + 128 MB writer buffers) OOMed an 8 g heap at
+      // bench scale. 32 MB bounds both sides; on a real cluster row
+      // groups this size still saturate scan vectorization.
+      .config("spark.hadoop.parquet.block.size", (32L * 1024 * 1024).toString)
+      .config("spark.hadoop.parquet.hadoop.vectored.io.enabled", "false")
+      // ~1 KB token rows: 4096-row reader batches are ~4.5 MB of column
+      // vectors per task plus doubling-growth churn; 1024 keeps 32
+      // concurrent fused read+write tasks inside the heap
+      .config("spark.sql.parquet.columnarReaderBatchSize", "1024")
+      // Every engine write is already source-clustered per task (range
+      // exchanges use exact-placement keys; the copy-forward merge keeps
+      // single-file tasks via openCostInBytes below), so the dynamic-
+      // partition writer's sort — which MATERIALIZES each task's whole
+      // input before writing and spilled GBs at 32 cores — buys nothing:
+      // concurrent writers bound memory at writers × block.size instead.
+      .config("spark.sql.maxConcurrentOutputFileWriters", "4")
+      // one input FILE per scan task: keeps copy-forward output tasks
+      // single-source (files are partition-pure) and output files 1:1
+      // with inputs; costs only ~6 ms dispatch per extra small-file task
+      .config("spark.sql.files.openCostInBytes", (32L * 1024 * 1024).toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.sources.parallelPartitionDiscovery.threshold", "8192")

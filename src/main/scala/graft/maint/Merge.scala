@@ -598,12 +598,28 @@ object Merge {
    * stored source, code 2) which are counted in the write pass via
    * `Dataset.observe` and returned — the caller aborts before commit on a
    * non-zero count, making the contract uniform with the run-scan path
-   * (ADVICE r3 #1). Output binning/sorting identical to fusedMergeWrite
-   * (unique doc_id → same rows, same bins, same in-file order).
+   * (ADVICE r3 #1).
+   *
+   * WRITE SHAPE — copy-forward, ZERO exchange on the big side (the design
+   * Delta/Iceberg copy-on-write MERGE ships, and the round-4 change that
+   * moved this stage off the memory-bus ceiling): kept target rows stream
+   * scan → codegen'd filter → write inside their ORIGINAL file grouping
+   * and row order — no repartition, no sort — so the pass costs one read
+   * plus one write of the touched bytes, exactly like compaction (the
+   * engine's best-scaling stage). Upserted rows do NOT rejoin their old
+   * position: they shuffle (small side only — bounded by the change-set)
+   * into fresh range-clustered files, and the next compact/cluster pass
+   * folds them into the layout — the same contract appends and the
+   * insert unit already follow. Re-sorting the whole touched set inside
+   * MERGE (round 3's single-exchange design) priced every CDC batch at a
+   * full re-cluster of the touched bytes: unaffordable at 100 TB and,
+   * measured at bench scale, pinned to the DRAM-bandwidth scaling
+   * ceiling that pure streaming avoids.
    */
   private[graft] def broadcastMergeWrite(target: DataFrame, srcU: DataFrame,
       files: Seq[DataFile], targetBytes: Long, out: Path,
-      keyMap: Option[Broadcast[java.util.HashMap[UTF8String, UTF8String]]] = None)
+      keyMap: Option[Broadcast[java.util.HashMap[UTF8String, UTF8String]]] = None,
+      upsertRows: Long = -1L)
       : Long = {
     val spark = target.sparkSession
     val bc = keyMap.getOrElse {
@@ -628,13 +644,26 @@ object Merge {
         sum(when(col("__mc") === 2, 1L).otherwise(0L)).as("conflicts"))
       .filter(col("__mc") === 0)
       .drop("__mc")
-    val merged = kept.unionByName(upserts)
-    val (binCol, totalBins) = binColumn(files, targetBytes)
-    merged.withColumn("__bk", binCol)
-      .repartition(totalBins, col("__bk"))
-      .sortWithinPartitions(col("doc_id"))
-      .drop("__bk")
-      .withColumn("p_source", col("source"))
+    // the small side gets its own bounded shuffle into ~targetBytes
+    // range-clustered files (doc_id-sorted within each) so its manifest
+    // stats prune; row count comes from the caller's planning summary —
+    // only the spec-facing direct call pays a count job
+    val nUp = if (upsertRows >= 0) upsertRows else upserts.count()
+    val merged =
+      if (nUp == 0) kept
+      else {
+        val avgRowBytes = {
+          val tb = files.iterator.map(_.bytes).sum
+          val tr = files.iterator.map(_.rows).sum
+          if (tr == 0) 256L else math.max(16L, tb / tr)
+        }
+        val nOut = math.max(1,
+          math.ceil(nUp.toDouble * avgRowBytes / targetBytes).toInt)
+        kept.unionByName(upserts
+          .repartition(nOut, pmod(xxhash64(col("doc_id")), lit(nOut)))
+          .sortWithinPartitions(col("source"), col("doc_id")))
+      }
+    merged.withColumn("p_source", col("source"))
       .write.partitionBy("p_source").parquet(out.toString)
     obs.get.get("conflicts") match {
       case Some(l: Long) => l
@@ -813,9 +842,16 @@ object Merge {
               val outDir = table.log.newDataSubdir()
               lin.heartbeat(passId)
               if (useBroadcast) {
+                // unit upsert count from the planning summary — no count job
+                val unitUpserts = plan.cells match {
+                  case Some(st) => st.iterator
+                    .filter(s => s.cell >= u.lo && s.cell <= u.hi)
+                    .map(_.nUpserts).sum
+                  case None => -1L
+                }
                 val conflicts = broadcastMergeWrite(target,
                   src.filter(unitOf === u.id), u.files, targetFileBytes,
-                  outDir, keyMapBc)
+                  outDir, keyMapBc, unitUpserts)
                 // abort BEFORE the unit's lineage record: the violating
                 // staged output must never be reusable by a resume (the
                 // corrected change-set has a different fingerprint and
