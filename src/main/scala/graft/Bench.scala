@@ -104,12 +104,16 @@ object Bench {
       // of vectored range buffers — see Maintain.session
       .config("spark.hadoop.parquet.block.size", (32L * 1024 * 1024).toString)
       .config("spark.hadoop.parquet.hadoop.vectored.io.enabled", "false")
-      .config("spark.sql.parquet.columnarReaderBatchSize", "1024")
-      // no-sort concurrent partition writers + single-file scan tasks:
-      // see Maintain.session (the dynamic-partition sort materialized
-      // whole task inputs and spilled GBs at 32 fused tasks)
-      .config("spark.sql.maxConcurrentOutputFileWriters", "4")
-      .config("spark.sql.files.openCostInBytes", (32L * 1024 * 1024).toString)
+      // scan-shaping configs are MAINTENANCE-session-only: single-file
+      // tasks and small reader batches bound fused read+write task
+      // memory (see Maintain.session) but penalize many-small-file
+      // query reads (measured: the streaming query 5x slower when the
+      // 32 MB openCost leaked into the query session)
+      .config("spark.sql.parquet.columnarReaderBatchSize",
+        if (aqe) "4096" else "1024")
+      .config("spark.sql.maxConcurrentOutputFileWriters", if (aqe) "0" else "4")
+      .config("spark.sql.files.openCostInBytes",
+        (if (aqe) 4L * 1024 * 1024 else 32L * 1024 * 1024).toString)
       .config("spark.shuffle.file.buffer", "1m")
       // scans pass EXACT file paths; with >32 of them Spark launches a
       // distributed listing job (~0.3-0.5 s of pure dispatch floor) before
