@@ -77,6 +77,17 @@ object TextOps {
     // LONGS (16 bytes/row), never as strings — the oracle can't see the
     // keys (only doc pairs + scores appear in the output) and a 64-bit
     // collision over ~10^6 shingles is ~10^-8 (VERDICT r1 next-step 7).
+    //
+    // Shape: ONE pass over the heavy shingle pipeline → postings group
+    // by shingle in a single exchange; `BoundedCollect.list(_, 21)` caps
+    // a hot shingle's aggregation buffer at 21 elements (a boilerplate
+    // shingle in 10^9 docs at 100 TB costs O(21), not an executor OOM)
+    // while the same-pass count(*) keeps the TRUE df, so `df <= 20`
+    // both applies the rarity filter and proves the kept lists are
+    // complete. Pairs then expand from each <=20-element list with
+    // codegen'd array HOFs and re-aggregate by pair — replacing the
+    // df-join + aliased self-join that recomputed the shingle pipeline
+    // three times and shuffled full postings twice more.
     "d02_dedup_ngram_jaccard" -> ((s, dir) => {
       val d = docs(s, dir)
         .select(col("doc_id"), col("lang"), bigrams.as("sh"))
@@ -87,18 +98,32 @@ object TextOps {
           xxhash64(col("g")).as("gh"))
       // df is counted per shingle ACROSS langs (oracle semantics); lang
       // equality applies only at pair time
-      val rare = posts.groupBy("gh").agg(count(lit(1)).as("df"))
+      val grouped = posts.groupBy("gh").agg(
+          graft.functions.BoundedCollect.list(
+            struct(col("doc_id"), col("nsh"), col("lang")), 21).as("ds"),
+          count(lit(1)).as("df"))
         .filter(col("df") <= 20 && col("df") >= 2)
-      val p = posts.join(rare, "gh")
-      // distinct aliases on both sides: a self-join on same-lineage columns
-      // would resolve to a trivially-true predicate
-      val a = p.select(col("gh"), col("lang"),
-        col("doc_id").as("a"), col("nsh").as("na"))
-      val b = p.select(col("gh").as("gh_b"), col("lang").as("lang_b"),
-        col("doc_id").as("b"), col("nsh").as("nb"))
-      a.join(b, col("gh") === col("gh_b") && col("lang") === col("lang_b") &&
-          col("a") < col("b"))
-        .groupBy("a", "b", "na", "nb")
+      // element i partners with every LATER element of the same lang;
+      // (a,b) normalized by doc_id order (slice is 1-based: i+2 skips
+      // self and predecessors)
+      val pairs = grouped.select(explode(flatten(
+          transform(col("ds"), (x, i) =>
+            filter(
+              transform(slice(col("ds"), i + lit(2), size(col("ds"))), y =>
+                struct(
+                  when(x("doc_id") < y("doc_id"), x("doc_id"))
+                    .otherwise(y("doc_id")).as("a"),
+                  when(x("doc_id") < y("doc_id"), y("doc_id"))
+                    .otherwise(x("doc_id")).as("b"),
+                  when(x("doc_id") < y("doc_id"), x("nsh"))
+                    .otherwise(y("nsh")).as("na"),
+                  when(x("doc_id") < y("doc_id"), y("nsh"))
+                    .otherwise(x("nsh")).as("nb"),
+                  (x("lang") === y("lang")).as("same"))),
+              p => p("same"))))).as("pr"))
+        .select(col("pr.a").as("a"), col("pr.b").as("b"),
+          col("pr.na").as("na"), col("pr.nb").as("nb"))
+      pairs.groupBy("a", "b", "na", "nb")
         .agg(count(lit(1)).as("inter"))
         .withColumn("jacc",
           col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
