@@ -100,4 +100,43 @@ class ClusterSpec extends SparkTestBase {
       assert(placement(k) === j, s"key $k for bin $j landed on ${placement(k)}")
     }
   }
+
+  test("cluster pruning surface is invariant under the within-file sort mode") {
+    // The geometry-conditional sort (Rewrite.cluster) must not be able to
+    // change what any scan skips: per-file manifest stats come from the
+    // RangeBin assignment, not row order. Cluster the SAME data with the
+    // sort forced ON and OFF and require identical per-file (partition,
+    // rows, stats) manifests and equal content fingerprints.
+    import graft.gen.Synth
+    import graft.maint.{Rewrite, RewriteConfig}
+    def build(mode: String): (Seq[(String, Long, Map[String, String])], java.math.BigDecimal) = {
+      val root = tmpDir(s"graft-sortmode-$mode")
+      val t = TokenTable.create(root, spark)
+      t.append(Synth.table(spark, 8000, seed = 7L, minTok = 16, maxTok = 128),
+        targetFileCount = 24, nowMs = 1L)
+      sys.props("graft.cluster.sort") = mode
+      try Rewrite.cluster(t, spark,
+        RewriteConfig(targetFileBytes = 256L * 1024, sortBy = "zkey"), nowMs = 2L)
+      finally sys.props.remove("graft.cluster.sort")
+      val snap = t.log.current().get
+      val files = t.log.dataFiles(snap).map { f =>
+        (f.partition.getOrElse("source", ""), f.rows,
+          f.stats.flatMap { case (c, s) =>
+            Seq(s"$c.min" -> String.valueOf(s.min), s"$c.max" -> String.valueOf(s.max))
+          })
+      }.sortBy(f => (f._1, f._3.toSeq.sorted.mkString("|"), f._2))
+      val fp = t.scan()._1
+        .select(org.apache.spark.sql.functions.xxhash64(
+            org.apache.spark.sql.functions.col("doc_id"),
+            org.apache.spark.sql.functions.col("tokens"))
+          .cast("decimal(38,0)").as("h"))
+        .agg(org.apache.spark.sql.functions.sum(org.apache.spark.sql.functions.col("h")))
+        .collect()(0).getDecimal(0)
+      (files, fp)
+    }
+    val (fa, fpa) = build("always")
+    val (fn, fpn) = build("never")
+    assert(fpa === fpn)
+    assert(fa === fn)
+  }
 }
