@@ -232,7 +232,7 @@ object Bench {
       val t0 = System.nanoTime()
       spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
         override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
-          val site = Option(j.properties).map(_.getProperty("callSite.short", "?")).getOrElse("?")
+          val site = j.stageInfos.lastOption.map(_.name.linesIterator.next().take(70)).getOrElse("?")
           println(f"joblog cpus=$cpus job=${j.jobId}%3d START t=${(System.nanoTime() - t0) / 1e9}%8.2f $site")
         }
         override def onJobEnd(j: org.apache.spark.scheduler.SparkListenerJobEnd): Unit =

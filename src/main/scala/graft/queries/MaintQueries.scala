@@ -241,6 +241,20 @@ object MaintQueries {
         count(col("quality")).as("n_quality"),
         coalesce(sum(col("quality")), lit(0.0)).cast("long").as("sum_quality"))
         .orderBy("source")
+    }),
+
+    // SQL row-level writes (round-4): DELETE FROM and UPDATE over the
+    // registered view each become ONE copy-forward merge against the
+    // current head (GraftRowLevelRule). The oracle recomputes the final
+    // state from first principles: rows with n_tok%7=3 gone, rows with
+    // n_tok%7=2 carry tokens+2, everything else bit-identical.
+    "m09_sql_delete_update" -> ((s, dir) => {
+      val t = freshTable(s, dir, "rowlevel")
+      graft.sources.GraftSql.register(s, t, "m09_target")
+      s.sql("DELETE FROM m09_target WHERE n_tok % 7 = 3")
+      s.sql("UPDATE m09_target SET tokens = transform(tokens, x -> x + 2) " +
+        "WHERE n_tok % 7 = 2")
+      contentFacts(t.scan()._1)
     }))
 
   /** `{SF_DIR}` survives manifestDumpPath's '/'-mangling untouched;
@@ -331,6 +345,27 @@ object MaintQueries {
         |  count(quality) AS n_quality,
         |  CAST(COALESCE(sum(quality), 0) AS BIGINT) AS sum_quality
         |FROM unified GROUP BY source ORDER BY source""".stripMargin,
+
+    // expected state after the two row-level SQL statements: rows with
+    // n_tok%7=3 deleted, rows with n_tok%7=2 have every token +2 (n_tok
+    // itself untouched), all other rows bit-identical
+    "m09_sql_delete_update" ->
+      """WITH tok AS (
+        |  SELECT CAST(doc_id AS VARCHAR) AS doc_id, source,
+        |    string_split(text,' ') AS ws,
+        |    len(string_split(text,' ')) AS n_tok
+        |  FROM documents),
+        |final AS (
+        |  SELECT doc_id, source, n_tok,
+        |    CASE WHEN n_tok % 7 = 2
+        |      THEN list_transform(ws, w -> length(w) + 2)
+        |      ELSE list_transform(ws, w -> length(w)) END AS toks
+        |  FROM tok WHERE n_tok % 7 <> 3)
+        |SELECT source, count(*) AS n_rows,
+        |  CAST(sum(n_tok) AS BIGINT) AS sum_tok,
+        |  CAST(sum(CAST(('0x' || substr(md5(doc_id || ':' ||
+        |    array_to_string(toks, ',')), 1, 12)) AS BIGINT)) AS BIGINT) AS fp_sum
+        |FROM final GROUP BY source ORDER BY source""".stripMargin,
 
     "m05_salted_agg" ->
       """SELECT source,

@@ -1,7 +1,8 @@
 package graft.sources
 
 import org.apache.spark.sql.{Row, SparkSession, SparkSessionExtensions}
-import org.apache.spark.sql.catalyst.plans.logical.{InsertIntoStatement, LogicalPlan, SubqueryAlias}
+import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, Cast, Expression, Literal}
+import org.apache.spark.sql.catalyst.plans.logical.{Assignment, DeleteFromTable, Filter, InsertIntoStatement, LogicalPlan, Project, SubqueryAlias, UpdateTable}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
@@ -30,8 +31,10 @@ import org.apache.spark.sql.graft.Bridge
  *    are time-travel-stable); re-register to see the new version.
  */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectResolutionRule(_ => GraftInsertRule)
+    ext.injectResolutionRule(_ => GraftRowLevelRule)
+  }
 }
 
 object GraftInsertRule extends Rule[LogicalPlan] {
@@ -45,8 +48,15 @@ object GraftInsertRule extends Rule[LogicalPlan] {
         i.overwrite, i.byName, i.userSpecifiedCols)
   }
 
-  private def graftOf(p: LogicalPlan): Option[GraftFileIndex] = p match {
+  private[sources] def graftOf(p: LogicalPlan): Option[GraftFileIndex] = p match {
     case SubqueryAlias(_, child) => graftOf(child)
+    // DML targets (DELETE/UPDATE) resolve a temp view as
+    // SubqueryAlias(View(Project(attrs, relation))) — reads eliminate the
+    // View wrapper later in analysis, but row-level commands are
+    // intercepted before that
+    case v: org.apache.spark.sql.catalyst.plans.logical.View => graftOf(v.child)
+    case pr: Project if pr.projectList.forall(_.isInstanceOf[AttributeReference]) =>
+      graftOf(pr.child)
     case lr: LogicalRelation => lr.relation match {
       case fs: HadoopFsRelation => fs.location match {
         case g: GraftFileIndex => Some(g)
@@ -55,6 +65,95 @@ object GraftInsertRule extends Rule[LogicalPlan] {
       case _ => None
     }
     case _ => None
+  }
+}
+
+/**
+ * SQL row-level writes: `DELETE FROM <graft view> WHERE ...` and
+ * `UPDATE <graft view> SET ... WHERE ...` intercepted during analysis
+ * (Spark's own row-level rewrite only serves v2 `RowLevelOperationTable`s;
+ * without this rule checkAnalysis rejects both statements on a v1
+ * relation). Each statement becomes ONE engine merge: the matched rows —
+ * computed against the CURRENT table head, not the view's read pin, as
+ * every write here does — form a change-set (op=delete, or op=upsert with
+ * the SET assignments applied) and `Merge.run` executes it copy-forward
+ * with touched-file pruning, so a selective DELETE/UPDATE rewrites only
+ * the files whose doc_id span intersects the matched keys. The merge
+ * provenance contract holds: `SET source = ...` and `SET doc_id = ...`
+ * are rejected up front (doc_id is the merge key; source is immutable
+ * provenance — the same mutation the merge paths abort on).
+ */
+object GraftRowLevelRule extends Rule[LogicalPlan] {
+  import GraftInsertRule.graftOf
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.resolveOperators {
+    case DeleteFromTable(t, cond) if t.resolved && cond.resolved &&
+        graftOf(t).isDefined =>
+      GraftDeleteCommand(graftOf(t).get, cond)
+    case UpdateTable(t, assigns, cond) if t.resolved &&
+        assigns.forall(_.resolved) && cond.forall(_.resolved) &&
+        graftOf(t).isDefined =>
+      GraftUpdateCommand(graftOf(t).get, assigns, cond)
+  }
+}
+
+private object GraftRowLevel {
+  /** Matched rows of the table's CURRENT head under `cond`, with
+    * `assigns` applied (empty for DELETE) and the merge op column
+    * appended. The statement's expressions were resolved against the
+    * view's pinned relation, so attribute refs are rebound BY NAME onto
+    * the head scan's output before building the plan. */
+  def changeSet(spark: SparkSession, index: GraftFileIndex,
+      cond: Expression, assigns: Seq[Assignment], op: String)
+      : org.apache.spark.sql.DataFrame = {
+    val plan = index.table.scan()._1.queryExecution.analyzed
+    val byName = plan.output.map(a => a.name.toLowerCase -> a).toMap
+    def rebind(e: Expression): Expression = e.transform {
+      case a: AttributeReference =>
+        byName.getOrElse(a.name.toLowerCase,
+          sys.error(s"unknown column ${a.name} in row-level statement"))
+    }
+    val assignByName = assigns.map { a =>
+      val name = a.key match {
+        case ar: AttributeReference => ar.name.toLowerCase
+        case other => sys.error(
+          s"unsupported UPDATE target $other (only top-level columns)")
+      }
+      name -> rebind(a.value)
+    }.toMap
+    require(!assignByName.contains("doc_id"),
+      "UPDATE cannot rewrite doc_id: it is the merge key")
+    require(!assignByName.contains("source"),
+      "UPDATE cannot rewrite source: provenance is immutable (the same " +
+      "contract every merge path enforces)")
+    val out = plan.output.map { a =>
+      assignByName.get(a.name.toLowerCase) match {
+        case Some(v) => Alias(Cast(v, a.dataType), a.name)()
+        case None => a
+      }
+    } :+ Alias(Literal(op), graft.maint.Merge.opCol)()
+    Bridge.ofRows(spark, Project(out, Filter(rebind(cond), plan)))
+  }
+}
+
+final case class GraftDeleteCommand(index: GraftFileIndex, cond: Expression)
+    extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    graft.maint.Merge.run(index.table, spark,
+      GraftRowLevel.changeSet(spark, index, cond, Seq.empty, "delete"),
+      nowMs = System.currentTimeMillis())
+    Seq.empty
+  }
+}
+
+final case class GraftUpdateCommand(index: GraftFileIndex,
+    assigns: Seq[Assignment], cond: Option[Expression])
+    extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    graft.maint.Merge.run(index.table, spark,
+      GraftRowLevel.changeSet(spark, index,
+        cond.getOrElse(Literal.TrueLiteral), assigns, "upsert"),
+      nowMs = System.currentTimeMillis())
+    Seq.empty
   }
 }
 

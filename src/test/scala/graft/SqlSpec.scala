@@ -114,4 +114,48 @@ class SqlSpec extends SparkTestBase {
     assert(spark.sql("SELECT count(*) FROM graft_tokens_now")
       .head().getLong(0) === curCount)
   }
+
+  def fp(df: org.apache.spark.sql.DataFrame): java.math.BigDecimal =
+    df.select(xxhash64(col("doc_id"), col("tokens"), col("n_tok"), col("source"))
+        .cast("decimal(38,0)").as("h"))
+      .agg(sum(col("h"))).collect()(0).getDecimal(0)
+
+  test("DELETE FROM removes exactly the matched rows through a merge commit") {
+    val t = TokenTable.create(tmpDir("graft-del"), spark)
+    t.append(Synth.table(spark, 6000, 11L, 16, 64), targetFileCount = 8, nowMs = 1L)
+    GraftSql.register(spark, t, "graft_del")
+    val before = t.describe()("rows").toLong
+    val matched = t.scan()._1.filter(pmod(col("n_tok"), lit(5)) === 0).count()
+    val keepFp = fp(t.scan()._1.filter(pmod(col("n_tok"), lit(5)) =!= 0))
+    assert(matched > 0)
+    spark.sql("DELETE FROM graft_del WHERE n_tok % 5 = 0")
+    assert(t.log.current().get.operation === "merge")
+    assert(t.describe()("rows").toLong === before - matched)
+    val after = t.scan()._1
+    assert(after.filter(pmod(col("n_tok"), lit(5)) === 0).count() === 0)
+    assert(fp(after) === keepFp) // survivors bit-identical
+  }
+
+  test("UPDATE applies SET to matched rows; provenance rewrites are rejected") {
+    val t = TokenTable.create(tmpDir("graft-upd"), spark)
+    t.append(Synth.table(spark, 6000, 12L, 16, 64), targetFileCount = 8, nowMs = 1L)
+    GraftSql.register(spark, t, "graft_upd")
+    val expected = fp(t.scan()._1.select(
+      col("doc_id"),
+      when(col("n_tok") < 32, transform(col("tokens"), x => x + 7))
+        .otherwise(col("tokens")).as("tokens"),
+      col("n_tok"), col("source")))
+    assert(t.scan()._1.filter(col("n_tok") < 32).count() > 0)
+    spark.sql(
+      "UPDATE graft_upd SET tokens = transform(tokens, x -> x + 7) WHERE n_tok < 32")
+    assert(t.log.current().get.operation === "merge")
+    assert(fp(t.scan()._1) === expected)
+    // the merge key and provenance column are not assignable
+    val e1 = intercept[Exception](
+      spark.sql("UPDATE graft_upd SET source = 'x' WHERE n_tok < 20"))
+    assert(e1.getMessage.contains("provenance"), e1.getMessage)
+    val e2 = intercept[Exception](
+      spark.sql("UPDATE graft_upd SET doc_id = 'x' WHERE n_tok < 20"))
+    assert(e2.getMessage.contains("merge key"), e2.getMessage)
+  }
 }
