@@ -74,7 +74,66 @@ object VectorOps {
       .orderBy("q_id")
   }
 
+  /** sign-LSH bucket over an already-double array */
+  private def bucketD(e: Column): Column = {
+    val bits = (0 until 4).map { k =>
+      when(aggregate(slice(e, k * 16 + 1, 16), lit(0.0),
+        (acc, v) => acc + v) >= 0, "1").otherwise("0")
+    }
+    concat(bits: _*)
+  }
+
+  /**
+   * Embedding-cosine near-dup corpus: the raw table unioned with a
+   * perturbed clone of every 5th vector (coordinate 0 shifted by +0.125 —
+   * exact in binary doubles, cosine(orig, clone) ≈ 0.9998 while the
+   * corpus's max random pairwise cosine is ~0.51, so a 0.8 threshold
+   * separates with a huge margin and both engines replay the arithmetic
+   * bit-identically).
+   */
+  private def nearDupCorpus(s: SparkSession, dir: String): DataFrame = {
+    val base = emb(s, dir).select(col("vec_id"), d(col("embedding")).as("de"))
+    val clones = base.filter(pmod(col("vec_id"), lit(5)) === 0)
+      .select((col("vec_id") + 10000).as("vec_id"),
+        transform(col("de"), (x, i) =>
+          when(i === 0, x + lit(0.125)).otherwise(x)).as("de"))
+    base.unionByName(clones)
+  }
+
+  /**
+   * Near-dup dedup by embedding cosine: LSH-bucket blocking (same
+   * sign-bit buckets as e02/e03, same skew cap) → within-bucket pairs
+   * with cosine ≥ 0.8 → each duplicate keeps its minimum-id near
+   * neighbor as the canonical representative. No all-pairs join: the
+   * candidate set is bucket-local and capped, the 100-TB refinement is
+   * multiple independent bucket tables (banding) for recall — recall
+   * loss is bucket-boundary-deterministic, never a correctness issue,
+   * and both engines replay the identical blocking.
+   */
+  def dedupEmbeddingCosine(corpus: DataFrame, threshold: Double,
+      bucketCap: Int): DataFrame = {
+    val e = corpus.withColumn("bucket", bucketD(col("de")))
+    val small = e.groupBy("bucket").agg(count(lit(1)).as("bn"))
+      .filter(col("bn") <= bucketCap).drop("bn")
+    val capped = e.join(small, Seq("bucket"))
+    val a = capped.select(col("vec_id").as("a_id"), col("de").as("ae"),
+      col("bucket"))
+    val b = capped.select(col("vec_id").as("b_id"), col("de").as("be"),
+      col("bucket").as("bucket_b"))
+    a.join(b, col("bucket") === col("bucket_b") && col("a_id") < col("b_id"))
+      .filter(cosine(col("ae"), col("be")) >= threshold)
+      .groupBy(col("b_id").as("dup_id"))
+      .agg(min(col("a_id")).as("keep_id"))
+      .orderBy("dup_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // embedding-cosine near-dup dedup (the 5th dedup family beside
+    // d01-d04): planted clones must map back to their originals
+    "d05_dedup_embedding_cosine" -> ((s, dir) =>
+      dedupEmbeddingCosine(nearDupCorpus(s, dir), threshold = 0.8,
+        annBucketCap)),
 
     // brute-force cosine top-k: the correctness baseline for ANN
     "e01_ann_bruteforce" -> ((s, dir) => {
@@ -131,7 +190,40 @@ object VectorOps {
     s"CASE WHEN list_aggregate(list_transform(range($lo, ${hi + 1}), i -> CAST(embedding[i] AS DOUBLE)), 'sum') >= 0 THEN '1' ELSE '0' END"
   }.mkString(" || ")
 
+  /** bucketD over a double list named `de` (fold order mirrors Spark's
+    * sequential aggregate — the e02-proven pattern) */
+  private val bucketDSql = (0 until 4).map { k =>
+    val lo = k * 16 + 1; val hi = k * 16 + 16
+    s"CASE WHEN list_aggregate(list_transform(range($lo, ${hi + 1}), i -> de[i]), 'sum') >= 0 THEN '1' ELSE '0' END"
+  }.mkString(" || ")
+
+  private def dotDe(a: String, b: String): String =
+    s"list_aggregate(list_transform(range(1, 65), i -> $a.de[i] * $b.de[i]), 'sum')"
+
   val oracle: Map[String, String] = Map(
+    "d05_dedup_embedding_cosine" ->
+      s"""WITH base AS (
+         |  SELECT vec_id,
+         |    list_transform(range(1, 65), i -> CAST(embedding[i] AS DOUBLE)) AS de
+         |  FROM embeddings),
+         |clones AS (
+         |  SELECT CAST(vec_id + 10000 AS BIGINT) AS vec_id,
+         |    list_transform(range(1, 65), i ->
+         |      CASE WHEN i = 1 THEN CAST(embedding[1] AS DOUBLE) + 0.125
+         |           ELSE CAST(embedding[i] AS DOUBLE) END) AS de
+         |  FROM embeddings WHERE vec_id % 5 = 0),
+         |corpus AS (SELECT * FROM base UNION ALL SELECT * FROM clones),
+         |b0 AS (SELECT vec_id, de, ($bucketDSql) AS bucket FROM corpus),
+         |small AS (SELECT bucket FROM b0 GROUP BY bucket HAVING count(*) <= 10000),
+         |b AS (SELECT b0.* FROM b0 JOIN small USING (bucket)),
+         |pairs AS (
+         |  SELECT a.vec_id AS a_id, c.vec_id AS b_id
+         |  FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+         |  WHERE (${dotDe("a", "c")} /
+         |    (sqrt(${dotDe("a", "a")}) * sqrt(${dotDe("c", "c")}))) >= 0.8)
+         |SELECT b_id AS dup_id, min(a_id) AS keep_id
+         |FROM pairs GROUP BY b_id ORDER BY dup_id""".stripMargin,
+
     "e01_ann_bruteforce" ->
       s"""WITH scored AS (
          |  SELECT q.vec_id AS q_id, c.vec_id AS n_id,
