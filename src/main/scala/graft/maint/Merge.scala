@@ -174,18 +174,25 @@ object Merge {
     xxhash64(col("doc_id"), col(opCol), col("n_tok"), col("tokens"),
       col("source"))
 
-  /** Single-collect plan for change-sets of ≤ collectCap deduped rows:
-    * one narrow job (doc_id, op, source, row-hash — token arrays hashed
-    * executor-side, never collected) that also materializes the cache the
-    * unit jobs read. Falls back to `cellStats` aggregation on overflow. */
+  /** Two-job plan for change-sets of ≤ collectCap deduped rows: an exact
+    * count (the job that also materializes the cache the unit jobs read),
+    * then — only when it fits — a single narrow collect (doc_id, op,
+    * source, row-hash; token arrays hashed executor-side, never
+    * collected). The count makes the collect safe BY CONSTRUCTION (≤ cap
+    * rows ever reach the driver) and replaces the previous
+    * `limit(cap+1).collect()`, whose CollectLimitExec partition ramp ran
+    * up to three sequential jobs (1, then 4×, then the rest) — two extra
+    * job floors of pure serial time per merge at every parallelism level.
+    * Falls back to `cellStats` aggregation when the count overflows. */
   def planSummary(src: DataFrame, collectCap: Long): MergePlan = {
     val capInt = math.min(collectCap, 2000000L).toInt // driver-heap bound
+    val n = if (capInt <= 0) Long.MaxValue else src.count()
     val rows =
-      if (capInt <= 0) Array.empty[org.apache.spark.sql.Row]
+      if (n > capInt) Array.empty[org.apache.spark.sql.Row]
       else src.select(col("doc_id"), col(opCol), col("source"),
           rowHash.as("h"))
-        .limit(capInt + 1).collect()
-    if (capInt > 0 && rows.length <= capInt) {
+        .collect()
+    if (capInt > 0 && n <= capInt) {
       val keyMap = new java.util.HashMap[UTF8String, UTF8String](rows.length * 2)
       val byCell = scala.collection.mutable.HashMap
         .empty[Long, (Long, Long, java.math.BigInteger)]
@@ -737,7 +744,8 @@ object Merge {
 
     val src = dedupSource(source).cache()
     try {
-      // ONE planning job (small sources; bounded aggregation otherwise).
+      // Planning: exact count + one narrow collect (small sources;
+      // bounded aggregation otherwise).
       // The fingerprint makes the pass id resume-safe (a crashed merge
       // re-run with a different source gets a fresh pass id and never
       // reuses stale staged output — ADVICE r1 #1); the cells drive
