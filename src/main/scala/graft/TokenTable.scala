@@ -218,10 +218,15 @@ final class TokenTable(val log: SnapshotLog, spark: SparkSession) {
     }
   }
 
-  /** Summary keys inherited across commits (e.g. the stable Z-order source
-    * dictionary — SURVEY.md §7.4 item 3: dict indices must never move). */
+  /** Summary keys inherited across commits: the stable Z-order source
+    * dictionary (SURVEY.md §7.4 item 3: dict indices must never move) and
+    * the per-stream last-committed-batch markers (streaming ingest
+    * exactly-once — the marker must survive interleaved compact/cluster/
+    * merge commits, or a restart replaying the last micro-batch would
+    * double-append it). */
   private def carried(prev: Snapshot): Map[String, String] =
-    prev.summary.view.filterKeys(_ == "source-dict").toMap
+    prev.summary.view.filterKeys(k =>
+      k == "source-dict" || k.startsWith("stream-batch-")).toMap
 
   /** Footer-stat every parquet file under dir (recursive) → manifest entries. */
   def collectEntries(subdir: Path): Seq[DataFile] = {

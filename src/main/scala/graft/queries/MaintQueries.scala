@@ -255,6 +255,34 @@ object MaintQueries {
       s.sql("UPDATE m09_target SET tokens = transform(tokens, x -> x + 2) " +
         "WHERE n_tok % 7 = 2")
       contentFacts(t.scan()._1)
+    }),
+
+    // SQL MERGE INTO (round-4): the full three-clause statement lowered to
+    // ONE engine merge commit (GraftMergeCommand). The oracle recomputes
+    // the post-state: n_tok%5=4 rows deleted, n_tok%5=1 rows carry
+    // tokens+1, a 'new-'-prefixed clone of every n_tok%5=2 row inserted,
+    // everything else bit-identical.
+    "m10_sql_merge" -> ((s, dir) => {
+      val t = freshTable(s, dir, "sqlmerge")
+      graft.sources.GraftSql.register(s, t, "m10_target")
+      val fx = fixture(s, dir)
+      val slot = pmod(col("n_tok"), lit(5))
+      val upd = fx.filter(slot === 1).select(col("doc_id"),
+        transform(col("tokens"), x => x + 1).as("tokens"),
+        col("n_tok"), col("source"), lit(0).as("del"))
+      val dels = fx.filter(slot === 4).select(col("doc_id"), col("tokens"),
+        col("n_tok"), col("source"), lit(1).as("del"))
+      val ins = fx.filter(slot === 2).select(
+        concat(lit("new-"), col("doc_id")).as("doc_id"), col("tokens"),
+        col("n_tok"), col("source"), lit(0).as("del"))
+      upd.unionByName(dels).unionByName(ins).createOrReplaceTempView("m10_src")
+      s.sql(
+        """MERGE INTO m10_target t USING m10_src s ON t.doc_id = s.doc_id
+          |WHEN MATCHED AND s.del = 1 THEN DELETE
+          |WHEN MATCHED THEN UPDATE SET tokens = s.tokens
+          |WHEN NOT MATCHED THEN INSERT (doc_id, tokens, n_tok, source)
+          |  VALUES (s.doc_id, s.tokens, s.n_tok, s.source)""".stripMargin)
+      contentFacts(t.scan()._1)
     }))
 
   /** `{SF_DIR}` survives manifestDumpPath's '/'-mangling untouched;
@@ -365,6 +393,30 @@ object MaintQueries {
         |  CAST(sum(n_tok) AS BIGINT) AS sum_tok,
         |  CAST(sum(CAST(('0x' || substr(md5(doc_id || ':' ||
         |    array_to_string(toks, ',')), 1, 12)) AS BIGINT)) AS BIGINT) AS fp_sum
+        |FROM final GROUP BY source ORDER BY source""".stripMargin,
+
+    // expected state after the three-clause MERGE: n_tok%5=4 deleted,
+    // n_tok%5=1 tokens all +1 (n_tok untouched — the statement assigns
+    // only `tokens`), plus a 'new-'-prefixed insert clone of every
+    // n_tok%5=2 row; all other rows bit-identical
+    "m10_sql_merge" ->
+      """WITH tok AS (
+        |  SELECT CAST(doc_id AS VARCHAR) AS doc_id, source,
+        |    list_transform(string_split(text,' '), w -> length(w)) AS toks,
+        |    len(string_split(text,' ')) AS n_tok
+        |  FROM documents),
+        |final AS (
+        |  SELECT doc_id, source, n_tok,
+        |    CASE WHEN n_tok % 5 = 1
+        |      THEN list_transform(toks, x -> x + 1) ELSE toks END AS toks2
+        |  FROM tok WHERE n_tok % 5 <> 4
+        |  UNION ALL
+        |  SELECT 'new-' || doc_id, source, n_tok, toks FROM tok
+        |  WHERE n_tok % 5 = 2)
+        |SELECT source, count(*) AS n_rows,
+        |  CAST(sum(n_tok) AS BIGINT) AS sum_tok,
+        |  CAST(sum(CAST(('0x' || substr(md5(doc_id || ':' ||
+        |    array_to_string(toks2, ',')), 1, 12)) AS BIGINT)) AS BIGINT) AS fp_sum
         |FROM final GROUP BY source ORDER BY source""".stripMargin,
 
     "m05_salted_agg" ->

@@ -1,8 +1,9 @@
 package graft.sources
 
-import org.apache.spark.sql.{Row, SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.{Column, Row, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, Cast, Expression, Literal}
-import org.apache.spark.sql.catalyst.plans.logical.{Assignment, DeleteFromTable, Filter, InsertIntoStatement, LogicalPlan, Project, SubqueryAlias, UpdateTable}
+import org.apache.spark.sql.catalyst.plans.{FullOuter, RightOuter}
+import org.apache.spark.sql.catalyst.plans.logical.{Assignment, DeleteAction, DeleteFromTable, Filter, InsertAction, InsertIntoStatement, InsertStarAction, Join, JoinHint, LogicalPlan, MergeAction, MergeIntoTable, Project, SubqueryAlias, UpdateAction, UpdateStarAction, UpdateTable}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
@@ -93,7 +94,21 @@ object GraftRowLevelRule extends Rule[LogicalPlan] {
         assigns.forall(_.resolved) && cond.forall(_.resolved) &&
         graftOf(t).isDefined =>
       GraftUpdateCommand(graftOf(t).get, assigns, cond)
+    case m: MergeIntoTable if m.targetTable.resolved && m.sourceTable.resolved &&
+        m.mergeCondition.resolved && mergeActionsReady(m) &&
+        graftOf(m.targetTable).isDefined =>
+      GraftMergeCommand(graftOf(m.targetTable).get, m)
   }
+
+  /** Star actions carry no assignments (the command expands them by name);
+    * everything else must be fully resolved before the rewrite fires. */
+  private def mergeActionsReady(m: MergeIntoTable): Boolean =
+    (m.matchedActions ++ m.notMatchedActions ++ m.notMatchedBySourceActions)
+      .forall {
+        case UpdateStarAction(c) => c.forall(_.resolved)
+        case InsertStarAction(c) => c.forall(_.resolved)
+        case a => a.resolved
+      }
 }
 
 private object GraftRowLevel {
@@ -152,6 +167,164 @@ final case class GraftUpdateCommand(index: GraftFileIndex,
     graft.maint.Merge.run(index.table, spark,
       GraftRowLevel.changeSet(spark, index,
         cond.getOrElse(Literal.TrueLiteral), assigns, "upsert"),
+      nowMs = System.currentTimeMillis())
+    Seq.empty
+  }
+}
+
+/**
+ * `MERGE INTO <graft view> USING <source> ON <cond>` — the north rule's
+ * "Catalyst-planned MERGE INTO" as an actual SQL statement: the analyzer
+ * hands us the resolved `MergeIntoTable`, and the command lowers it to ONE
+ * engine merge (`Merge.run` — touched-file pruning, copy-forward units,
+ * snapshot-isolated commit).
+ *
+ * Lowering: the table's CURRENT head is outer-joined with the source
+ * (RIGHT outer normally — every source row classifies as matched or not
+ * against the scanned head; FULL outer only when NOT MATCHED BY SOURCE
+ * actions need the unmatched target rows too). Constant-true marker
+ * columns on each side survive the outer join exactly where that side had
+ * a row, so matched-ness never depends on the nullability of user data.
+ * One projection then evaluates the WHEN clauses: per Spark semantics the
+ * FIRST action (in statement order) whose condition holds applies —
+ * expressed as a when/otherwise cascade for the op column and for every
+ * output column, all in the same codegen'd select. Rows where no clause
+ * fires drop out; the survivors ARE the engine change-set
+ * (doc_id, …, _op ∈ {upsert, delete}).
+ *
+ * Contract mapping:
+ *  - UPDATE SET doc_id = … is rejected statically (merge key).
+ *  - SET source = … is allowed syntactically but the engine's provenance
+ *    contract aborts the merge pre-commit if any matched row's claimed
+ *    source differs from the stored one — same behavior as the library
+ *    merge paths.
+ *  - INSERT actions must assign doc_id and source; unassigned columns
+ *    land NULL (the row "didn't know" the column — schema-evolution
+ *    semantics).
+ *  - A source row matching multiple WHEN clauses takes the first; multiple
+ *    source rows with the SAME doc_id are collapsed by the engine's
+ *    deterministic dedup (delete wins, then least token fingerprint) —
+ *    where stock Spark raises a runtime cardinality error, this engine
+ *    documents a deterministic pick instead.
+ *  - `WITH SCHEMA EVOLUTION` is not supported (evolve explicitly via
+ *    `TokenTable.addColumn`).
+ *
+ * Cost shape: one classifying scan of the head (right-outer against the
+ * small source; full-outer only with BY SOURCE clauses) to build the
+ * change-set, then the merge itself rewrites only touched files. The
+ * library API (`Merge.run`) skips the classify join entirely — it IS the
+ * direct path; this front door pays it to honor arbitrary ON conditions
+ * and WHEN predicates.
+ */
+final case class GraftMergeCommand(index: GraftFileIndex, m: MergeIntoTable)
+    extends LeafRunnableCommand {
+  import org.apache.spark.sql.functions.{lit, when}
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    require(!m.withSchemaEvolution,
+      "MERGE ... WITH SCHEMA EVOLUTION is not supported: evolve explicitly " +
+      "(CLI `evolve` / TokenTable.addColumn), then merge")
+    val table = index.table
+    val headPlan = table.scan()._1.queryExecution.analyzed
+    val srcPlan = m.sourceTable
+    val tByName = headPlan.output.map(a => a.name.toLowerCase -> a).toMap
+    val sByName = srcPlan.output.map(a => a.name.toLowerCase -> a).toMap
+    val srcIds = srcPlan.outputSet
+    // statement expressions were resolved against the view's pinned
+    // relation; rebind target refs BY NAME onto the head scan (writes
+    // always run against the current head). Source refs stay: the very
+    // same source plan is the join's right child.
+    def rebind(e: Expression): Expression = e.transform {
+      case a: AttributeReference if !srcIds.contains(a) =>
+        tByName.getOrElse(a.name.toLowerCase, sys.error(
+          s"unknown column ${a.name} in MERGE (neither target nor source)"))
+    }
+
+    // markers: non-null exactly where that side had a row
+    val tFlag = Alias(Literal(true), "__t")()
+    val sFlag = Alias(Literal(true), "__s")()
+    val tM = Project(headPlan.output :+ tFlag, headPlan)
+    val sM = Project(srcPlan.output :+ sFlag, srcPlan)
+    val joinType =
+      if (m.notMatchedBySourceActions.nonEmpty) FullOuter else RightOuter
+    val joined = Bridge.ofRows(spark,
+      Join(tM, sM, joinType, Some(rebind(m.mergeCondition)), JoinHint.NONE))
+    val isT = Bridge.column(tFlag.toAttribute).isNotNull
+    val isS = Bridge.column(sFlag.toAttribute).isNotNull
+
+    val schema = table.schema()
+    def tCol(n: String): Column = Bridge.column(tByName(n.toLowerCase))
+
+    // star expansion by name: SET * / INSERT * assign every target column
+    // from the same-named source column
+    def starAssigns: Seq[(String, Expression)] = schema.fieldNames.toSeq.map {
+      n => n.toLowerCase -> sByName.getOrElse(n.toLowerCase, sys.error(
+        s"MERGE star action: source has no column $n")).asInstanceOf[Expression]
+    }
+    final case class Act(cond: Column, op: String,
+        assigns: Seq[(String, Expression)])
+    def keyName(k: Expression): String = k match {
+      case a: AttributeReference => a.name.toLowerCase
+      case other => sys.error(
+        s"unsupported MERGE assignment target $other (only top-level columns)")
+    }
+    def act(a: MergeAction, matched: Boolean): Act = {
+      val cond = a.condition.map(e => Bridge.column(rebind(e)))
+        .getOrElse(lit(true))
+      a match {
+        case UpdateAction(_, as, fromStar) =>
+          val kv0 = as.map(x => keyName(x.key) -> rebind(x.value))
+          // analyzer-expanded SET * carries a doc_id:=s.doc_id assignment;
+          // the merge key always comes from the TARGET row instead
+          val kv =
+            if (fromStar) kv0.filterNot(_._1 == "doc_id") :+
+              ("doc_id" -> tByName("doc_id").asInstanceOf[Expression])
+            else kv0
+          require(fromStar || !matched || kv.forall(_._1 != "doc_id"),
+            "MERGE UPDATE cannot rewrite doc_id: it is the merge key")
+          Act(cond, "upsert", kv)
+        case _: UpdateStarAction => Act(cond, "upsert",
+          starAssigns.filterNot(_._1 == "doc_id") :+
+            ("doc_id" -> tByName("doc_id").asInstanceOf[Expression]))
+        case DeleteAction(_) => Act(cond, "delete", Seq.empty)
+        case InsertAction(_, as) =>
+          val kv = as.map(x => keyName(x.key) -> rebind(x.value))
+          require(kv.exists(_._1 == "doc_id") && kv.exists(_._1 == "source"),
+            "MERGE INSERT must assign doc_id and source")
+          Act(cond, "upsert", kv)
+        case _: InsertStarAction => Act(cond, "upsert", starAssigns)
+        case other => sys.error(s"unsupported MERGE action $other")
+      }
+    }
+    val matched = m.matchedActions.map(act(_, matched = true))
+    val inserts = m.notMatchedActions.map(act(_, matched = false))
+    val bySource = m.notMatchedBySourceActions.map(act(_, matched = true))
+
+    // first-true-wins cascades (statement order), one per output column
+    def opOf(as: Seq[Act]): Column =
+      as.foldRight(lit(null).cast("string")) { (a, els) =>
+        when(a.cond, lit(a.op)).otherwise(els) }
+    def valOf(as: Seq[Act], n: String, dflt: Column): Column =
+      as.foldRight(dflt) { (a, els) =>
+        val v = a.assigns.collectFirst { case (k, e) if k == n.toLowerCase =>
+          Bridge.column(e) }.getOrElse(dflt)
+        when(a.cond, v).otherwise(els)
+      }
+    val opC =
+      when(isT && isS, opOf(matched))
+        .when(!isT, opOf(inserts))
+        .otherwise(opOf(bySource))
+    val cols = schema.fields.toSeq.map { f =>
+      val nullC = lit(null).cast(f.dataType)
+      when(isT && isS, valOf(matched, f.name, tCol(f.name)))
+        .when(!isT, valOf(inserts, f.name, nullC))
+        .otherwise(valOf(bySource, f.name, tCol(f.name)))
+        .cast(f.dataType).as(f.name)
+    }
+    val changeSet = joined
+      .select(cols :+ opC.as(graft.maint.Merge.opCol): _*)
+      .filter(col(graft.maint.Merge.opCol).isNotNull)
+    graft.maint.Merge.run(table, spark, changeSet,
       nowMs = System.currentTimeMillis())
     Seq.empty
   }

@@ -91,6 +91,55 @@ object StreamOps {
     out.orderBy("win_start", "event_type")
   }
 
+  /**
+   * Streaming INGESTION into the token table — exactly-once via the
+   * standard idempotent-foreachBatch contract (the shape Delta's
+   * `txnAppId`/`txnVersion` and Iceberg's commit-dedup implement): every
+   * micro-batch append records its batch id in the snapshot summary under
+   * `stream-batch-<streamId>`, and a batch whose id is ≤ the recorded one
+   * is a NO-OP. After a crash, Structured Streaming replays the last
+   * possibly-uncommitted batch from the checkpoint with the SAME batch id
+   * — the marker makes the replay idempotent, so each batch lands in
+   * exactly one snapshot. The marker is carried forward by every commit
+   * (compact/cluster/merge/expire included — see TokenTable.carried), so
+   * interleaved maintenance cannot open a double-append window.
+   *
+   * Contract: one live writer per streamId (the Structured Streaming
+   * checkpoint already enforces single ownership of the query); different
+   * streamIds ingest concurrently, serialized only at the snapshot commit.
+   *
+   * @return true iff the batch was appended (false = replay skipped)
+   */
+  def appendBatch(table: graft.TokenTable, batch: DataFrame, streamId: String,
+      batchId: Long, targetFileCount: Int = 4): Boolean = {
+    val key = s"stream-batch-$streamId"
+    val last = table.log.current().flatMap(_.summary.get(key))
+      .map(_.toLong).getOrElse(-1L)
+    if (batchId <= last) false
+    else {
+      table.append(batch, targetFileCount,
+        nowMs = System.currentTimeMillis(), operation = "stream_append",
+        extraSummary = Map(key -> batchId.toString))
+      true
+    }
+  }
+
+  /** readStream → snapshot-committing sink: each micro-batch becomes one
+    * atomic table snapshot (new files land in fresh range-clustered small
+    * files; the next compaction folds them in — the same contract as
+    * merge's insert unit). */
+  def appendStream(table: graft.TokenTable, stream: DataFrame,
+      streamId: String, checkpointDir: String, targetFileCount: Int = 4)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        appendBatch(table, batch, streamId, batchId, targetFileCount)
+        ()
+      }
+      .start()
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s01_stream_window" -> ((s, dir) => windowedCounts(s, dir)))
 

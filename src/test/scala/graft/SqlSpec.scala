@@ -158,4 +158,67 @@ class SqlSpec extends SparkTestBase {
       spark.sql("UPDATE graft_upd SET doc_id = 'x' WHERE n_tok < 20"))
     assert(e2.getMessage.contains("merge key"), e2.getMessage)
   }
+
+  test("MERGE INTO: matched delete/update + not-matched insert in one commit") {
+    val t = TokenTable.create(tmpDir("graft-mrg"), spark)
+    t.append(Synth.table(spark, 6000, 13L, 16, 64), targetFileCount = 8, nowMs = 1L)
+    GraftSql.register(spark, t, "graft_mrg")
+    val base = t.scan()._1.cache()
+    val slot = pmod(xxhash64(col("doc_id")), lit(10))
+    val upd = base.filter(slot === 0).select(col("doc_id"),
+      transform(col("tokens"), x => x + 1).as("tokens"),
+      col("n_tok"), col("source"), lit(0).as("del"))
+    val dels = base.filter(slot === 1).select(col("doc_id"), col("tokens"),
+      col("n_tok"), col("source"), lit(1).as("del"))
+    val ins = base.filter(slot === 2).limit(200).select(
+      concat(lit("new-"), col("doc_id")).as("doc_id"), col("tokens"),
+      col("n_tok"), col("source"), lit(0).as("del"))
+    upd.unionByName(dels).unionByName(ins).createOrReplaceTempView("m_src")
+    // expected post-state, computed independently
+    val expected = fp(
+      base.filter(slot =!= 1).select(col("doc_id"),
+          when(slot === 0, transform(col("tokens"), x => x + 1))
+            .otherwise(col("tokens")).as("tokens"),
+          col("n_tok"), col("source"))
+        .unionByName(ins.drop("del")))
+    spark.sql(
+      """MERGE INTO graft_mrg t USING m_src s ON t.doc_id = s.doc_id
+        |WHEN MATCHED AND s.del = 1 THEN DELETE
+        |WHEN MATCHED THEN UPDATE SET tokens = s.tokens, n_tok = s.n_tok
+        |WHEN NOT MATCHED THEN INSERT (doc_id, tokens, n_tok, source)
+        |  VALUES (s.doc_id, s.tokens, s.n_tok, s.source)""".stripMargin)
+    assert(t.log.current().get.operation === "merge")
+    assert(fp(t.scan()._1) === expected)
+    base.unpersist()
+  }
+
+  test("MERGE INTO: star actions and NOT MATCHED BY SOURCE") {
+    val t = TokenTable.create(tmpDir("graft-mrg2"), spark)
+    t.append(Synth.table(spark, 4000, 14L, 16, 64), targetFileCount = 6, nowMs = 1L)
+    GraftSql.register(spark, t, "graft_mrg2")
+    val base = t.scan()._1.cache()
+    val slot = pmod(xxhash64(col("doc_id")), lit(7))
+    // star source: same shape as the table
+    base.filter(slot === 0).select(col("doc_id"),
+        transform(col("tokens"), x => x + 3).as("tokens"),
+        col("n_tok"), col("source"))
+      .createOrReplaceTempView("m_src2")
+    val expected = fp(base.select(col("doc_id"),
+        when(slot === 0, transform(col("tokens"), x => x + 3))
+          .otherwise(col("tokens")).as("tokens"),
+        col("n_tok"), col("source"))
+      .filter(slot === 0 || col("n_tok") >= 32))
+    spark.sql(
+      """MERGE INTO graft_mrg2 t USING m_src2 s ON t.doc_id = s.doc_id
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *
+        |WHEN NOT MATCHED BY SOURCE AND t.n_tok < 32 THEN DELETE""".stripMargin)
+    assert(fp(t.scan()._1) === expected)
+    // the merge key stays non-assignable through the MERGE door too
+    val e = intercept[Exception](spark.sql(
+      """MERGE INTO graft_mrg2 t USING m_src2 s ON t.doc_id = s.doc_id
+        |WHEN MATCHED THEN UPDATE SET doc_id = 'x'""".stripMargin))
+    assert(e.getMessage.contains("merge key"), e.getMessage)
+    base.unpersist()
+  }
 }
