@@ -163,6 +163,54 @@ object VectorOps {
     // bucket equi-join replaces the cross join
     "e03_ann_lsh" -> ((s, dir) => annLsh(emb(s, dir), maxQ = 20, annBucketCap)),
 
+    // IVF-style ANN (the second scale path beside e03's LSH): a coarse
+    // quantizer of k=16 DETERMINISTIC seed centroids — the 16 lowest
+    // vec_ids (at 100 TB the centroids come from an offline sampled
+    // k-means, a preprocessing step; the engine's contribution is the
+    // index/search shape, identical either way). The centroids are
+    // COLLECTED to the driver (16 rows — metadata-bounded, the same
+    // discipline as merge's key cells) and inlined as literal arrays, so
+    // cell assignment is ONE shuffle-free codegen'd projection per row:
+    // an array of (cosine, -cent_id) structs whose array_max IS the
+    // argmax with the deterministic min-id tiebreak. The alternative — a
+    // 16-row broadcast join + row_number window — expands every vector
+    // 16x and shuffles the full embedding payload just to pick a max.
+    // Cells partition the corpus (the column you'd cluster the table by,
+    // so each probe's scan prunes to its cells' files); a query probes
+    // its nProbe=4 nearest cells (sort_array desc on the same struct
+    // array) and ranks exact cosine inside them. Candidates per query
+    // are N*(nProbe/k) by construction — one bounded equi-join shuffle,
+    // no cross join.
+    "e05_ann_ivf" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = emb(s, dir).select(col("vec_id"), d(col("embedding")).as("de"))
+      val cents: Seq[(Int, Array[Double])] = e.filter(col("vec_id") < 16)
+        .collect()
+        .map(r => (r.getLong(0).toInt, r.getSeq[Double](1).toArray))
+        .sortBy(_._1).toSeq
+      val scoreArr = array(cents.map { case (id, ce) =>
+        struct(cosine(col("de"), typedLit(ce)).as("c"),
+          lit(-id).as("nid"))
+      }: _*)
+      val scored = e.withColumn("scores", scoreArr)
+      val cells = scored.select(col("vec_id"), col("de"),
+        (-array_max(col("scores")).getField("nid")).as("cell"))
+      val probes = scored.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("de").as("qe"),
+          explode(transform(
+            slice(sort_array(col("scores"), asc = false), 1, 4),
+            x => -x.getField("nid"))).as("cell"))
+      val w = Window.partitionBy("q_id").orderBy(desc("cos"), asc("n_id"))
+      probes.join(cells.select(col("vec_id").as("n_id"),
+          col("de").as("ne"), col("cell")), Seq("cell"))
+        .filter(col("q_id") =!= col("n_id"))
+        .withColumn("cos", cosine(col("qe"), col("ne")))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+        .select(col("q_id"), col("n_id"), col("rank").cast("long").as("rank"))
+        .orderBy("q_id", "rank")
+    }),
+
     // per-label vector stats; min/max only (no cross-row double sums —
     // those are aggregation-order-dependent and would break the oracle)
     "e04_vector_stats" -> ((s, dir) => {
@@ -255,6 +303,37 @@ object VectorOps {
          |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id ASC) AS rank
          |  FROM scored)
          |SELECT q_id, n_id FROM ranked WHERE rank = 1 ORDER BY q_id""".stripMargin,
+    "e05_ann_ivf" ->
+      s"""WITH e AS (
+         |  SELECT vec_id,
+         |    list_transform(range(1, 65), i -> CAST(embedding[i] AS DOUBLE)) AS de
+         |  FROM embeddings),
+         |cents AS (SELECT vec_id AS cent_id, de FROM e WHERE vec_id < 16),
+         |ass AS (
+         |  SELECT vec_id, de, cent_id,
+         |    row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY ccos DESC, cent_id ASC) AS r
+         |  FROM (
+         |    SELECT v.vec_id, v.de, c.cent_id,
+         |      (${dotDe("v", "c")} /
+         |       (sqrt(${dotDe("v", "v")}) * sqrt(${dotDe("c", "c")}))) AS ccos
+         |    FROM e v, cents c)),
+         |cells AS (SELECT vec_id, de, cent_id AS cell FROM ass WHERE r = 1),
+         |probes AS (SELECT vec_id AS q_id, de, cent_id AS cell
+         |  FROM ass WHERE vec_id < 10 AND r <= 4),
+         |scored AS (
+         |  SELECT p.q_id, c.vec_id AS n_id,
+         |    (${dotDe("p", "c")} /
+         |     (sqrt(${dotDe("p", "p")}) * sqrt(${dotDe("c", "c")}))) AS cos
+         |  FROM probes p JOIN cells c
+         |    ON p.cell = c.cell AND p.q_id <> c.vec_id),
+         |ranked AS (
+         |  SELECT q_id, n_id,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id ASC) AS rank
+         |  FROM scored)
+         |SELECT q_id, n_id, CAST(rank AS BIGINT) AS rank FROM ranked
+         |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
+
     "e04_vector_stats" ->
       s"""SELECT CAST(label AS BIGINT) AS label, count(*) AS n,
          |  min(${dotS("embedding", "embedding")}) AS min_norm2,
