@@ -218,15 +218,8 @@ final class TokenTable(val log: SnapshotLog, spark: SparkSession) {
     }
   }
 
-  /** Summary keys inherited across commits: the stable Z-order source
-    * dictionary (SURVEY.md §7.4 item 3: dict indices must never move) and
-    * the per-stream last-committed-batch markers (streaming ingest
-    * exactly-once — the marker must survive interleaved compact/cluster/
-    * merge commits, or a restart replaying the last micro-batch would
-    * double-append it). */
   private def carried(prev: Snapshot): Map[String, String] =
-    prev.summary.view.filterKeys(k =>
-      k == "source-dict" || k.startsWith("stream-batch-")).toMap
+    TokenTable.carried(prev)
 
   /** Footer-stat every parquet file under dir (recursive) → manifest entries. */
   def collectEntries(subdir: Path): Seq[DataFile] = {
@@ -239,7 +232,9 @@ final class TokenTable(val log: SnapshotLog, spark: SparkSession) {
       val partition = pp.getParent.getFileName.toString match {
         case s if s.contains("=") =>
           val Array(k, v) = s.split("=", 2)
-          Map(k.stripPrefix("p_") -> java.net.URLDecoder.decode(v, "UTF-8"))
+          // hive-style dir values are %-escaped by the writer; decode with
+          // URI PATH semantics — a literal '+' must stay '+' (ADVICE r4 #2)
+          Map(k.stripPrefix("p_") -> SnapshotLog.uriPathDecode(v))
         case _ => Map.empty[String, String]
       }
       DataFile(log.relativize(pp), partition, rows, bytes, stats)
@@ -292,6 +287,20 @@ final class TokenTable(val log: SnapshotLog, spark: SparkSession) {
 }
 
 object TokenTable {
+  /** Summary keys inherited across commits: the stable Z-order source
+    * dictionary (SURVEY.md §7.4 item 3: dict indices must never move) and
+    * the per-stream last-committed-batch markers (streaming ingest
+    * exactly-once — the marker must survive interleaved compact/cluster/
+    * merge commits, or a restart replaying the last micro-batch would
+    * double-append it). The ONE shared carry predicate for every commit
+    * path — maintenance passes that build their snapshot summary
+    * themselves (manifest rewrite) must route through it too (VERDICT r4
+    * "What's wrong" #1: rewriteManifests carried only `source-dict` and
+    * dropped the stream markers, reopening the double-append window). */
+  def carried(prev: Snapshot): Map[String, String] =
+    prev.summary.view.filterKeys(k =>
+      k == "source-dict" || k.startsWith("stream-batch-")).toMap
+
   def create(root: String, spark: SparkSession, nowMs: Long = 0L): TokenTable = {
     val t = new TokenTable(new SnapshotLog(root), spark)
     t.create(nowMs)

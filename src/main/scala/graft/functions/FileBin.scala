@@ -189,8 +189,10 @@ object FileBin {
       // input_file_name() returns the scan path URI-ENCODED while the map
       // is keyed by on-disk relative paths (ADVICE r3 #5): a partition
       // value with percent-encoding characters (space, %, non-ASCII) would
-      // miss on the raw key — decode once and retry before failing.
-      try k = binOf.get(key2(java.net.URLDecoder.decode(s, "UTF-8")))
+      // miss on the raw key — decode once and retry before failing. URI
+      // PATH semantics ('+' stays literal; ADVICE r4 #2 — URLDecoder's
+      // form semantics broke source values containing '+').
+      try k = binOf.get(key2(graft.meta.SnapshotLog.uriPathDecode(s)))
       catch { case _: IllegalArgumentException => () } // stray % — keep null
     }
     if (k == null)

@@ -152,8 +152,12 @@ object Expire {
       val prev = base.getOrElse(sys.error("no table"))
       require(prev.version == snap.version,
         "concurrent commit during manifest rewrite — rerun against the new snapshot")
+      // carry the SAME summary keys every other commit path carries —
+      // in particular the stream-batch-* exactly-once markers (VERDICT r4
+      // confirmed bug: filtering for `source-dict` alone dropped them, so
+      // a stream replay after a routine manifest compaction double-appended)
       Snapshot(0L, -1L, nowMs, "rewrite_manifests",
-        prev.summary.view.filterKeys(_ == "source-dict").toMap ++ Map(
+        TokenTable.carried(prev) ++ Map(
           "manifests-before" -> snap.manifestList.size.toString,
           "manifests-after" -> refs.size.toString),
         prev.schemaDDL, prev.partitionCols, refs)

@@ -134,12 +134,26 @@ object Merge {
   /** Max positive prefix code for 7 ASCII bytes (stats-missing fallback). */
   private val MaxCode7 = 0x7f7f7f7f7f7f7fL
 
+  /** Change-set columns beyond the base (TokenRow + op) shape — evolved
+    * (addColumn) columns the caller supplies. Sorted for a deterministic
+    * fingerprint/ordering regardless of the caller's select order. */
+  private def srcExtraCols(df: DataFrame): Seq[String] = {
+    val base = TokenRow.schema.fieldNames.toSet + opCol
+    df.columns.filterNot(base.contains).sorted.toSeq
+  }
+
   /** Deterministic source dedup: exactly one action per doc_id.
     * delete < upsert lexicographically — delete wins ties; among upserts the
-    * lexicographically-least token fingerprint wins. */
+    * lexicographically-least token fingerprint wins. Evolved columns join
+    * the tie-break (ADVICE r4 #1): without them, duplicate-key rows that
+    * differ ONLY in an evolved column's value would be picked
+    * nondeterministically — and the content fingerprint (pass id) built
+    * from the winner would not be a pure function of the change-set. */
   def dedupSource(src: DataFrame): DataFrame = {
-    val w = Window.partitionBy(col("doc_id"))
-      .orderBy(col(opCol).asc, xxhash64(col("tokens")).asc, col("n_tok").asc)
+    val tieBreak = Seq(col(opCol).asc, xxhash64(col("tokens")).asc,
+      col("n_tok").asc, col("source").asc) ++
+      srcExtraCols(src).map(c => col(c).asc)
+    val w = Window.partitionBy(col("doc_id")).orderBy(tieBreak: _*)
     src.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1).drop("__rn")
   }
@@ -170,9 +184,16 @@ object Merge {
       srcFp: String, srcRows: Long,
       keyMap: Option[java.util.HashMap[UTF8String, UTF8String]])
 
-  private def rowHash: Column =
-    xxhash64(col("doc_id"), col(opCol), col("n_tok"), col("tokens"),
-      col("source"))
+  /** Content fingerprint of one change-set row — the pass id is a sum of
+    * these, so it must cover the FULL row: evolved (addColumn) columns the
+    * change-set supplies are folded in (ADVICE r4 #1 — without them a
+    * crashed merge resumed with a change-set differing only in an evolved
+    * column's values got the SAME pass id and silently reused stale staged
+    * unit output). Base-shape change-sets hash exactly as before, so
+    * existing pass ids are unchanged. */
+  private def rowHash(df: DataFrame): Column =
+    xxhash64(Seq(col("doc_id"), col(opCol), col("n_tok"), col("tokens"),
+      col("source")) ++ srcExtraCols(df).map(col): _*)
 
   /** Two-job plan for change-sets of ≤ collectCap deduped rows: an exact
     * count (the job that also materializes the cache the unit jobs read),
@@ -190,7 +211,7 @@ object Merge {
     val rows =
       if (n > capInt) Array.empty[org.apache.spark.sql.Row]
       else src.select(col("doc_id"), col(opCol), col("source"),
-          rowHash.as("h"))
+          rowHash(src).as("h"))
         .collect()
     if (capInt > 0 && n <= capInt) {
       val keyMap = new java.util.HashMap[UTF8String, UTF8String](rows.length * 2)
@@ -223,7 +244,7 @@ object Merge {
         case None =>
           // > CellCap distinct cells even at 3 bytes: fingerprint in a
           // fallback job, all files treated as touched
-          val fpRow = src.agg(sum(rowHash.cast("decimal(38,0)")).as("fp"))
+          val fpRow = src.agg(sum(rowHash(src).cast("decimal(38,0)")).as("fp"))
             .collect()(0)
           MergePlan(cellChars, None,
             if (fpRow.isNullAt(0)) "empty"
@@ -244,7 +265,7 @@ object Merge {
       val rows = src.groupBy(PrefixCode.code(col("doc_id"), c).as("cell"))
         .agg(count(lit(1)).as("n"),
           count(when(col(opCol) =!= "delete", 1)).as("nu"),
-          sum(rowHash.cast("decimal(38,0)")).as("fp"))
+          sum(rowHash(src).cast("decimal(38,0)")).as("fp"))
         .limit(CellCap + 1).collect()
       if (rows.length > CellCap) None
       else Some(rows.map(r => CellStat(r.getLong(0), r.getLong(1),
@@ -455,9 +476,15 @@ object Merge {
   }
 
   /** One sorted row during the iterator-based fused merge scan: TokenRow +
-    * action priority (2 = delete, 1 = upsert, 0 = existing target row). */
+    * action priority (2 = delete, 1 = upsert, 0 = existing target row) +
+    * the output bin key (run identity is (bin, doc_id) — ADVICE r4 #4:
+    * without the bin, two copies of a contract-violating key whose
+    * different bins hashed to the same shuffle partition fused into one
+    * run and the mutated upsert applied silently instead of counting as
+    * lonely, diverging from the window path's per-bin run detection). */
   private[graft] final case class ScanRow(
-      doc_id: String, tokens: Array[Int], n_tok: Int, source: String, prio: Int)
+      doc_id: String, tokens: Array[Int], n_tok: Int, source: String,
+      prio: Int, __bk: Int)
 
   /** Evolved (addColumn) fields present in a unit scan beyond the base
     * TokenRow shape. */
@@ -531,8 +558,7 @@ object Merge {
       val lonelyUp = spark.sparkContext.longAccumulator("merge-lonely-upserts")
       val lonelyDel = spark.sparkContext.longAccumulator("merge-lonely-deletes")
       val merged = binned
-        .sortWithinPartitions(col("doc_id"), col("prio").desc)
-        .drop("__bk")
+        .sortWithinPartitions(col("__bk"), col("doc_id"), col("prio").desc)
         .as[ScanRow]
         .mapPartitions { it =>
           new Iterator[TokenRow] {
@@ -544,7 +570,8 @@ object Merge {
                 val first = cur
                 var runLen = 1
                 var nxt: ScanRow = if (it.hasNext) it.next() else null
-                while (nxt != null && nxt.doc_id == first.doc_id) {
+                while (nxt != null && nxt.__bk == first.__bk &&
+                    nxt.doc_id == first.doc_id) {
                   runLen += 1
                   nxt = if (it.hasNext) it.next() else null
                 }

@@ -353,6 +353,14 @@ final case class GraftInsertCommand(index: GraftFileIndex, query: LogicalPlan,
       } else df0
     val conformed =
       if (byName || userCols.nonEmpty) {
+        // every supplied column must exist in the table schema (ADVICE r4
+        // #3: a typo'd name was silently dropped — null-filling the
+        // intended column AND discarding the supplied data, a lossy insert
+        // with no error). Mirrors the positional path's strict count check.
+        val unknown = named.columns.filterNot(schema.fieldNames.contains)
+        require(unknown.isEmpty,
+          s"INSERT column(s) not in table schema: ${unknown.mkString(", ")} " +
+          s"(table columns: ${schema.fieldNames.mkString(", ")})")
         val missing = schema.fieldNames.filterNot(named.columns.contains)
         require(missing.forall(f => schema(f).nullable),
           s"INSERT misses non-nullable column(s): ${missing.mkString(", ")}")

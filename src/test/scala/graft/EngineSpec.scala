@@ -313,6 +313,32 @@ class EngineSpec extends SparkTestBase {
     assert(fingerprint(currentDf) === fp)
   }
 
+  test("compaction handles partition values with '+' and percent-escapes") {
+    // ADVICE r4 #2: the FileBin retry decode used URLDecoder (form
+    // semantics), so a source containing '+' alongside a %-escaped char
+    // decoded to the wrong bin key and compaction failed with
+    // IllegalStateException("file not in any compaction bin"). Arbitrary
+    // source strings are reachable via the SQL INSERT front door.
+    val t = TokenTable.create(tmpDir("graft-plus"), spark)
+    val weird = "web+crawl 1%"
+    val df = spark.range(400).select(
+      concat(lit("d"), col("id")).as("doc_id"),
+      org.apache.spark.sql.functions.array(lit(1), lit(2)).cast("array<int>").as("tokens"),
+      lit(2).as("n_tok"),
+      when(col("id") % 2 === 0, lit(weird)).otherwise(lit("a+b")).as("source"))
+    t.append(df, targetFileCount = 8, nowMs = 1L)
+    // manifest partition values must round-trip the writer's escaping
+    val parts = t.log.dataFiles(t.log.current().get)
+      .flatMap(_.partition.get("source")).toSet
+    assert(parts === Set(weird, "a+b"))
+    Rewrite.compact(t, spark, RewriteConfig(
+      targetFileBytes = 1L * 1024 * 1024, sortBy = "docid"), nowMs = 2L)
+    val scanned = t.scan()._1
+    assert(scanned.count() === 400)
+    assert(scanned.filter(col("source") === weird).count() === 200)
+    assert(scanned.filter(col("source") === "a+b").count() === 200)
+  }
+
   test("manifest rewrite compacts metadata without touching data") {
     val fp = fingerprint(currentDf)
     val before = table.log.current().get.manifestList.size

@@ -140,4 +140,32 @@ class EvolveSpec extends SparkTestBase {
     val r = graft.dq.DQ.gate(table, spark)
     assert(r.checks.nonEmpty)
   }
+
+  test("change-set fingerprint and dedup cover evolved columns") {
+    // ADVICE r4 #1 (medium): rowHash/dedupSource ignored evolved columns —
+    // a crashed merge resumed with a change-set differing ONLY in an
+    // evolved column's values got the SAME pass id and silently reused
+    // stale staged unit output; duplicate-key dedup was likewise
+    // nondeterministic on such rows.
+    import spark.implicits._
+    def cs(q: Double) = Seq(("d1", Seq(1, 2), 2, "web", "upsert", q))
+      .toDF("doc_id", "tokens", "n_tok", "source", "_op", "quality")
+    val pa = Merge.planSummary(Merge.dedupSource(cs(0.25)), 1000)
+    val pb = Merge.planSummary(Merge.dedupSource(cs(0.75)), 1000)
+    assert(pa.srcFp !== pb.srcFp,
+      "pass-id fingerprint must change when only an evolved column differs")
+    // duplicate keys differing only in the evolved column: deterministic
+    // pick (least value under the total-order tie-break), not first-seen
+    val dup = cs(0.75).unionByName(cs(0.25)).repartition(4)
+    val picked = Merge.dedupSource(dup).collect()
+    assert(picked.length === 1)
+    assert(picked(0).getAs[Double]("quality") === 0.25)
+    // base-shape change-sets keep their fingerprint shape: same content,
+    // different select order → same fingerprint
+    val baseA = Seq(("d2", Seq(3), 1, "web", "upsert"))
+      .toDF("doc_id", "tokens", "n_tok", "source", "_op")
+    val baseB = baseA.select("source", "_op", "doc_id", "tokens", "n_tok")
+    assert(Merge.planSummary(baseA, 1000).srcFp ===
+      Merge.planSummary(baseB, 1000).srcFp)
+  }
 }

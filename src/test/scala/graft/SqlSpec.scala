@@ -221,4 +221,20 @@ class SqlSpec extends SparkTestBase {
     assert(e.getMessage.contains("merge key"), e.getMessage)
     base.unpersist()
   }
+
+  test("INSERT by name rejects unknown columns instead of dropping data") {
+    // ADVICE r4 #3: a typo'd column name in the by-name path was silently
+    // dropped — null-filling the intended column AND discarding the
+    // supplied data. Must fail loudly, like the positional count check.
+    GraftSql.register(spark, table, "graft_badcol")
+    val before = table.describe()("rows").toLong
+    val e = intercept[Exception](spark.sql(
+      """INSERT INTO graft_badcol (doc_id, tokens, n_tok, sorce)
+        |SELECT concat('bad-', doc_id), tokens, n_tok, source
+        |FROM graft_badcol WHERE n_tok < 64""".stripMargin))
+    def msgs(t: Throwable): String =
+      if (t == null) "" else t.getMessage + " | " + msgs(t.getCause)
+    assert(msgs(e).contains("sorce"), msgs(e))
+    assert(table.describe()("rows").toLong === before) // nothing committed
+  }
 }

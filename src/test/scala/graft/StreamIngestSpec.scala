@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 
-import graft.maint.{Rewrite, RewriteConfig}
+import graft.maint.{Expire, Rewrite, RewriteConfig}
 import graft.streaming.StreamOps
 
 /** Streaming ingestion: exactly-once micro-batch appends into the token
@@ -41,6 +41,30 @@ class StreamIngestSpec extends SparkTestBase {
     assert(t.describe()("rows").toLong === 160)
     // rows are exactly the union of the committed batches
     assert(t.scan()._1.select("doc_id").distinct().count() === 160)
+  }
+
+  test("markers survive rewrite-manifests and expire — replay stays a no-op") {
+    // VERDICT r4 confirmed bug: Expire.rewriteManifests rebuilt the
+    // snapshot summary carrying only `source-dict`, dropping the
+    // stream-batch-* exactly-once markers — a stream replay after routine
+    // metadata compaction double-appended. This test fails on that code.
+    val t = TokenTable.create(tmpDir("graft-ingest3"), spark)
+    assert(StreamOps.appendBatch(t, batchDF(0 until 80), "s1", 0L))
+    assert(StreamOps.appendBatch(t, batchDF(80 until 120), "s1", 1L))
+    assert(t.log.current().get.manifestList.size > 1)
+    Expire.rewriteManifests(t, nowMs = 5L)
+    assert(t.log.current().get.operation === "rewrite_manifests")
+    assert(!StreamOps.appendBatch(t, batchDF(80 until 120), "s1", 1L))
+    assert(t.describe()("rows").toLong === 120)
+    // ...and across snapshot expiry (the retained head keeps its summary)
+    Expire.run(t, retain = 1)
+    assert(!StreamOps.appendBatch(t, batchDF(80 until 120), "s1", 1L))
+    assert(!StreamOps.appendBatch(t, batchDF(0 until 80), "s1", 0L))
+    assert(t.describe()("rows").toLong === 120)
+    // the sequence is still open: the next batch id lands exactly once
+    assert(StreamOps.appendBatch(t, batchDF(120 until 130), "s1", 2L))
+    assert(t.describe()("rows").toLong === 130)
+    assert(t.scan()._1.select("doc_id").distinct().count() === 130)
   }
 
   test("appendStream commits one snapshot per micro-batch through a real query") {
