@@ -283,6 +283,33 @@ object MaintQueries {
           |WHEN NOT MATCHED THEN INSERT (doc_id, tokens, n_tok, source)
           |  VALUES (s.doc_id, s.tokens, s.n_tok, s.source)""".stripMargin)
       contentFacts(t.scan()._1)
+    }),
+
+    // streaming-ingest exactly-once, gated by the ORACLE (VERDICT r4
+    // next-step 5 — previously only scalatest-verified): two micro-batches
+    // land via appendBatch; each is then REPLAYED with its original batch
+    // id after an interleaved compact, manifest rewrite, and snapshot
+    // expire. Every replay must be a no-op — one double-append changes
+    // n_rows/fp_sum and DuckDB (which recomputes the exact union of the
+    // two batches from first principles) catches it.
+    "s02_stream_ingest" -> ((s, dir) => {
+      import graft.streaming.StreamOps
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-q-ingest").toString
+      val t = TokenTable.create(root, s)
+      val fx = fixture(s, dir)
+      val b0 = fx.filter(pmod(col("n_tok"), lit(3)) === 0)
+      val b1 = fx.filter(pmod(col("n_tok"), lit(3)) === 1)
+      StreamOps.appendBatch(t, b0, "s02", 0L)
+      Rewrite.compact(t, s, RewriteConfig(targetFileBytes = 64L * 1024,
+        sortBy = "docid"), nowMs = 2L)
+      StreamOps.appendBatch(t, b0, "s02", 0L) // replay after compact
+      StreamOps.appendBatch(t, b1, "s02", 1L)
+      Expire.rewriteManifests(t, nowMs = 3L)
+      StreamOps.appendBatch(t, b1, "s02", 1L) // replay after manifest rewrite
+      Expire.run(t, retain = 1)
+      StreamOps.appendBatch(t, b1, "s02", 1L) // replay after expire
+      contentFacts(t.scan()._1)
     }))
 
   /** `{SF_DIR}` survives manifestDumpPath's '/'-mangling untouched;
@@ -418,6 +445,20 @@ object MaintQueries {
         |  CAST(sum(CAST(('0x' || substr(md5(doc_id || ':' ||
         |    array_to_string(toks2, ',')), 1, 12)) AS BIGINT)) AS BIGINT) AS fp_sum
         |FROM final GROUP BY source ORDER BY source""".stripMargin,
+
+    // expected state = the exact union of batch 0 (n_tok%3=0) and batch 1
+    // (n_tok%3=1), each present EXACTLY once
+    "s02_stream_ingest" ->
+      """WITH tok AS (
+        |  SELECT CAST(doc_id AS VARCHAR) AS doc_id, source,
+        |    list_transform(string_split(text,' '), w -> length(w)) AS toks,
+        |    len(string_split(text,' ')) AS n_tok
+        |  FROM documents)
+        |SELECT source, count(*) AS n_rows,
+        |  CAST(sum(n_tok) AS BIGINT) AS sum_tok,
+        |  CAST(sum(CAST(('0x' || substr(md5(doc_id || ':' ||
+        |    array_to_string(toks, ',')), 1, 12)) AS BIGINT)) AS BIGINT) AS fp_sum
+        |FROM tok WHERE n_tok % 3 <> 2 GROUP BY source ORDER BY source""".stripMargin,
 
     "m05_salted_agg" ->
       """SELECT source,
