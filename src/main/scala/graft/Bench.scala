@@ -32,7 +32,20 @@ import graft.maint.{Merge, Rewrite, RewriteConfig}
  *    three driver rounds spent the wall budget on queries-first ordering
  *    and never held a maintenance scaling number);
  *  - the maintenance JSON is assembled from whichever phases completed —
- *    scaling numbers are never dropped because a LATER phase was skipped.
+ *    scaling numbers are never dropped because a LATER phase was skipped;
+ *  - the scaling-pair SIZE derives from the warmup's measured wall cost
+ *    so the required pair AND the query suite fit the deadline even at a
+ *    half-speed envelope (VERDICT r4 next-step 1: a fixed 5.5M-row pair
+ *    cost ~2000 s in a degraded window and the artifact shipped with
+ *    queries:{}); the second pair and the 32-core absolute stay
+ *    opportunistic and are recorded in `skipped` when dropped —
+ *    `truncated` now means the GATE evidence (first pair or queries)
+ *    itself is missing;
+ *  - the contention guard watches TWO canaries (read-only scan+agg AND a
+ *    fixed-size write probe — round 4 collapsed on the write path while
+ *    the read canary was healthy), and any gated eff outside the
+ *    physically plausible [0.40, 1.05] band that the guard could not
+ *    repair is disclosed in errors["envelope"] UNCONDITIONALLY.
  *
  * Measurement discipline for this sandbox (each point measured, see
  * BASELINE.md "Measurement discipline"):
@@ -329,6 +342,23 @@ object Bench {
           .collect()
       }
 
+      // WRITE canary (VERDICT r4 next-step 2): a FIXED-size generate+write
+      // through the same session — rows independent of the pipeline size,
+      // 8 output files so task waves divide both 2 and 8 cores evenly.
+      // The round-4 driver window collapsed exactly here (59-76 s of GC
+      // per 8-core WRITE stage) while the read-only scan canary measured a
+      // healthy 0.91 — the guard needs an envelope check on the path that
+      // actually failed.
+      val wcRows = 200000L
+      val wcDir = s"$root/probe-write"
+      val (_, tWc, gWc) = time {
+        Synth.tableDistributed(spark, wcRows, 7L, files = 8,
+          minTok = 16, maxTok = 512)
+          .write.parquet(wcDir)
+      }
+      val wcBytes = org.apache.commons.io.FileUtils
+        .sizeOfDirectory(new java.io.File(wcDir))
+
       Map(
         "append" -> StageStat(tAppend, rows, bytes1, Map("gc_ms" -> gAppend.toString)),
         "compact" -> StageStat(tCompact, rows, bytes1, Map("gc_ms" -> gCompact.toString)),
@@ -337,7 +367,8 @@ object Bench {
         "zorder" -> StageStat(tZorder, rows, bytes3, Map("gc_ms" -> gZorder.toString)),
         "merge" -> StageStat(tMerge, rows, bytes4,
           Map("touched_ratio" -> ratioMerge, "gc_ms" -> gMerge.toString)),
-        "probe_scan_agg" -> StageStat(tProbe, rows, bytes5, Map("gc_ms" -> gProbe.toString)))
+        "probe_scan_agg" -> StageStat(tProbe, rows, bytes5, Map("gc_ms" -> gProbe.toString)),
+        "probe_write" -> StageStat(tWc, wcRows, wcBytes, Map("gc_ms" -> gWc.toString)))
     } finally {
       spark.stop()
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
@@ -427,16 +458,17 @@ object Bench {
     val doScaling = sys.env.getOrElse("SPARK_GRAFT_SCALING", "1") != "0"
     val scaleCpus = sys.env.getOrElse("SPARK_GRAFT_SCALE_CPUS", "2").toInt
     val scale4Cpus = scaleCpus * 4
-    // the scaling pair runs BIGGER than the absolute level: per-stage
-    // parallel work must stand ~22x above the measured serial floor
-    // (cell collect + sample + commit + job gaps, ~5-6 s/stage) for a
-    // 0.8 efficiency ceiling, and local-mode job floors do not shrink
-    // with the data the way a real cluster's minutes-long jobs dwarf them
-    val scaleRows = sys.env.getOrElse("SPARK_GRAFT_SCALE_ROWS",
-      (benchRows * 11 / 8).toString).toLong
+    // expected wall cost of the query suite (48 queries at sf0.1 measured
+    // ~60 s of query time + ~40 s session/first-run overhead in a healthy
+    // window, BENCH_r03; 240 keeps headroom for a degraded one)
+    val queryEst = sys.env.getOrElse("SPARK_GRAFT_QUERY_EST_S", "240").toInt
 
     var errors = Map.empty[String, String]
-    var truncated = false
+    // phases skipped for budget — distinct from `truncated`, which now
+    // means "the gate evidence itself is incomplete" (first scaling pair
+    // or the query suite missing). Skipping an OPTIONAL repeat (second
+    // pair, 32-core absolute) is a disclosed economy, not a truncation.
+    val skipped = scala.collection.mutable.ArrayBuffer.empty[String]
     // which scaling levels the contention guard re-measured ("N"/"4N"),
     // in order — emitted in the artifact so a reader can tell a clean
     // first-interleave pair from one the guard had to repair
@@ -449,7 +481,7 @@ object Bench {
       * the scaling pair is the artifact's whole reason to exist. */
     def phase[A](name: String, estCost: Double = 0.0,
         required: Boolean = false)(f: => A): Option[A] = {
-      if (!required && remainingS < estCost) { truncated = true; None }
+      if (!required && remainingS < estCost) { skipped += name; None }
       else try Some(f) catch { case e: Throwable =>
         errors += name -> e.toString.linesIterator.next().take(160)
         None
@@ -484,9 +516,56 @@ object Bench {
     }
 
     // 2. JIT warmup pipeline (small rows — C2 compiles the whole
-    // Spark/parquet/zstd stack on the first pipeline in a JVM)
+    // Spark/parquet/zstd stack on the first pipeline in a JVM). Its
+    // measured wall cost is ALSO the sizing input for the scaling pair.
+    val warmupRows = math.max(benchRows / 8, 20000)
+    val tWarm0 = System.nanoTime()
     phase("warmup", required = true) {
-      maintenance(scale4Cpus, math.max(benchRows / 8, 20000))
+      maintenance(scale4Cpus, warmupRows)
+    }
+    val warmupWall = (System.nanoTime() - tWarm0) / 1e9
+
+    // THE BUDGET DRIVES THE PAIR SIZE (VERDICT r4 next-step 1 — fourth
+    // round asking for a valid driver-clock artifact; round 4's fixed
+    // 5.5M-row pair cost ~2000 s in a degraded host window, blowing the
+    // 1750 s deadline before the query phase could start). Cost model
+    // from the warmup's measured wall, calibrated on this VM (one-JVM
+    // pipeline probe, healthy window: 8-core 500k JIT=80.1 s,
+    // post-JIT=37.2 s, 2M=61.2 s -> floor ~29 s, v ~1.6e-5 s/row; see
+    // BASELINE.md "Bench sizing"):
+    //  - pipeline(rows) at 4N cores ≈ floor + v·rows, floor ≈ 30 s
+    //    (session start/stop, probes, commits, job gaps);
+    //  - the warmup's wall carries C2 JIT of the whole stack — post-JIT
+    //    pipelines measure ~0.47x of it (jitDiscount 0.5, slightly
+    //    conservative: the derived per-row cost lands ~1.25x above true);
+    //  - the N=2-core pipeline costs ~4.3x the 4N compute (linear DRAM
+    //    range, eff ~0.9) plus the same floor.
+    // Everything the artifact needs — the REQUIRED first pair and the
+    // query suite — must fit even if the envelope halves mid-run
+    // (safety = 2); the second pair and the 32-core absolute stay
+    // opportunistic, gated on measured cost.
+    val scaleRows: Long = sys.env.get("SPARK_GRAFT_SCALE_ROWS") match {
+      case Some(v) => v.toLong
+      case None =>
+        val floorS = sys.env.getOrElse("SPARK_GRAFT_FLOOR_S", "30").toDouble
+        val jitDiscount = 0.5
+        val nMult = 4.3
+        val safety = sys.env.getOrElse("SPARK_GRAFT_BENCH_SAFETY", "2.0").toDouble
+        val perRow4 = math.max(1e-7,
+          (warmupWall * jitDiscount - floorS) / warmupRows)
+        val endProbesS = 25.0
+        val budget = (remainingS - 2 * cooldownMs / 1000.0 - endProbesS -
+          safety * queryEst) / safety - 2 * floorS
+        val fit = (budget / ((1.0 + nMult) * perRow4)).toLong
+        // lower clamp: below ~1.2M rows the ~5-6 s/stage serial floor eats
+        // the 0.8 efficiency ceiling; upper clamp: the round-3/4 size that
+        // a healthy window fits comfortably. (Lower bounded by benchRows
+        // so a small-rows smoke run is not inflated.)
+        val r = math.max(math.min(1200000L, benchRows),
+          math.min(benchRows * 11 / 8, fit))
+        println(f"bench sizing: warmup=${warmupWall}%.1fs perRow4=$perRow4%.2e " +
+          f"budget=$budget%.0fs scaleRows=$r (fit=$fit)")
+        r
     }
     // explicit GC before each timed pipeline: heap state carried over from
     // the previous pipeline (old-gen occupancy, fragmented humongous
@@ -538,7 +617,7 @@ object Bench {
     }
     if (doScaling) {
       (1 to runs).foreach { r =>
-        if (r > 1 && remainingS < pairCost * 1.1) truncated = true
+        if (r > 1 && remainingS < pairCost * 1.1) skipped += s"pair-$r"
         else {
           val t0 = System.nanoTime()
           run4(required = r == 1)
@@ -555,48 +634,69 @@ object Bench {
       // allows (its wall cost is now measured) and fold by per-stage min —
       // a driver artifact with a physically impossible ratio is worse than
       // one that spent its slack re-measuring.
-      // The no-write scan+agg probe stage doubles as an envelope-validity
-      // CANARY with tighter bounds: it is pure bandwidth+CPU, healthy
-      // windows measure its 2->8 eff at 0.84-1.13, and a window where the
-      // co-tenant saturated the bus during one level shows up there first
-      // (observed 0.49 in a run whose DRAM probe scaled 8.7 -> 9.1 GB/s
-      // from 2 to 8 threads — i.e. not at all). Stage bounds stay wide
-      // (engine stages have real serial floors); canary bounds are tight.
+      // TWO envelope-validity CANARIES with tighter bounds than the gated
+      // stages (which have real serial floors):
+      //  - the no-write scan+agg probe (pure read bandwidth + CPU; healthy
+      //    2->8 eff 0.84-1.13 — observed 0.49 in a run whose DRAM probe
+      //    scaled 8.7 -> 9.1 GB/s from 2 to 8 threads, i.e. not at all);
+      //  - the fixed-size WRITE probe (VERDICT r4 next-step 2: the round-4
+      //    driver window collapsed on the WRITE path — 59-76 s GC per
+      //    8-core write stage — while the read canary measured a healthy
+      //    0.91, so the guard never fired and garbage shipped undisclosed).
+      //    Its band is wider: small fixed writes carry more per-level
+      //    noise (file open/commit floors) than the scan probe.
       val gatedStages = Seq("append", "compact", "zorder", "merge")
       def effOf(st: String): Option[Double] =
         for (n <- lo1.flatMap(_.get(st)); n4 <- lo4.flatMap(_.get(st)))
           yield (n.sec * scaleCpus) / (n4.sec * scale4Cpus)
       def gatedEffs: Seq[Double] = gatedStages.flatMap(effOf)
       def canaryEff: Double = effOf("probe_scan_agg").getOrElse(0.8)
+      def writeCanaryEff: Double = effOf("probe_write").getOrElse(0.8)
+      def canaryHot: Boolean = canaryEff > 1.25 || writeCanaryEff > 1.40
+      def canaryCold: Boolean = canaryEff < 0.60 || writeCanaryEff < 0.45
       var guards = 3
       var acted = true
       while (guards > 0 && acted) {
         acted = false
         val effs = gatedEffs
-        if ((effs.exists(_ > 1.05) || canaryEff > 1.25) &&
+        if ((effs.exists(_ > 1.05) || canaryHot) &&
             remainingS > costN * 1.1) {
           runN(required = false); acted = true; guardReruns += "N"
-        } else if ((effs.exists(_ < 0.40) || canaryEff < 0.60) &&
+        } else if ((effs.exists(_ < 0.40) || canaryCold) &&
             remainingS > cost4 * 1.1) {
           run4(required = false); acted = true; guardReruns += "4N"
         }
         guards -= 1
       }
-      // the guard can only spend budget, not invent a quiet host: if the
+      // the guard can only spend budget, not invent a quiet host: if a
       // canary STILL sits outside its healthy band after the re-runs, the
       // artifact says so instead of letting a physically implausible
       // ratio read as an engine property
-      if (canaryEff < 0.60 || canaryEff > 1.25)
+      if (canaryCold || canaryHot)
         errors += "envelope" ->
-          f"scan-agg canary 2->8 eff $canaryEff%.2f outside healthy 0.60-1.25 after ${guardReruns.size} guard re-runs: host window contended, pair invalid"
+          f"canaries outside healthy band after ${guardReruns.size} guard re-runs (scan-agg 2->8 eff $canaryEff%.2f healthy 0.60-1.25, write $writeCanaryEff%.2f healthy 0.45-1.40): host window contended, pair invalid"
+      // UNCONDITIONAL plausibility disclosure (VERDICT r4 next-step 2b):
+      // nothing in this engine scales superlinearly and no quiet-window
+      // stage ever measured below 0.40 — a gated eff outside [0.40, 1.05]
+      // that the guard could not repair (no budget, or the window never
+      // recovered) is physically implausible and must not read as a
+      // measured engine property, REGARDLESS of what the canaries say.
+      val implausible = gatedStages.flatMap(st => effOf(st).collect {
+        case e if e < 0.40 || e > 1.05 => f"$st=$e%.2f"
+      })
+      if (implausible.nonEmpty && !errors.contains("envelope"))
+        errors += "envelope" ->
+          s"gated eff outside plausible [0.40,1.05]: ${implausible.mkString(", ")} — envelope-invalid, do not read as engine scaling"
     }
 
     // 4. absolute throughput at the full core count (single run — the
     // scaling gate lives on the pair above; this is the headline number).
     // Cost estimate: the 4N-level pipeline scaled by the row ratio (the
     // 32-core run is floor-bound, rarely much faster than the 8-core one).
+    // the absolute only STARTS if the query suite (required gate evidence)
+    // still fits afterwards — starting it must never starve the queries
     val hiEst = pairCost * 0.3 * (benchRows.toDouble / scaleRows) + 30
-    val hi = phase(s"maint-$cpus", estCost = hiEst)(
+    val hi = phase(s"maint-$cpus", estCost = hiEst + queryEst)(
       cooled(maintenance(cpus, benchRows)))
 
     // 5. per-query timings at the main parallelism level — LAST: their
@@ -604,7 +704,6 @@ object Bench {
     // is short these timings are the right thing to drop. Failures are
     // REPORTED (error string per query), never swallowed into a timing.
     var queryErrors = Map.empty[String, String]
-    val queryEst = sys.env.getOrElse("SPARK_GRAFT_QUERY_EST_S", "240").toInt
     val results: Seq[(String, Double)] =
       if (sys.env.get("SPARK_GRAFT_SKIP_QUERIES").contains("1"))
         Seq.empty
@@ -659,6 +758,11 @@ object Bench {
         case _ => ""
       }
       val abs = hi.flatMap(_.get(st)) match {
+        // compact line: the absolute is redundant when the stage has the
+        // scaling pair (the gate evidence) — it stays in the verbose file.
+        // The compact line must fit the driver's ~2000-char stdout tail
+        // WITH 48 query timings AND the full maintenance matrix.
+        case Some(_) if compact && scaling.nonEmpty => ""
         case Some(h) if compact =>
           s""""sec":${fmt2(h.sec)},"sps":${(h.rows / h.sec).toLong}"""
         case Some(h) =>
@@ -686,26 +790,45 @@ object Bench {
     val spinJson = spin.toSeq.sortBy(_._1)
       .map { case (n, g) => s""""t$n":${fmt2(g)}""" }.mkString("{", ",", "}")
 
+    // `truncated` = the GATE EVIDENCE is incomplete: the required first
+    // scaling pair or the query suite is missing. Budget-skipping an
+    // optional repeat (second pair, 32-core absolute) is disclosed in
+    // `skipped`, not flagged as truncation — VERDICT r4 next-step 1's done
+    // criterion is BOTH maintenance and queries present, truncated:false.
+    val pairMissing = doScaling && (lo1.isEmpty || lo4.isEmpty)
+    val queriesMissing = results.isEmpty &&
+      !sys.env.get("SPARK_GRAFT_SKIP_QUERIES").contains("1")
+    val truncated = pairMissing || queriesMissing
+
     def header(compact: Boolean) = {
       val trunc = if (truncated || !compact) s""","truncated":$truncated""" else ""
       s""""unit":"sec","sf":${jstr(sfDir.split('/').last)},"cpus":$cpus,"scale_cpus":$scaleCpus,"scale4_cpus":$scale4Cpus,"rows":$benchRows,"srows":$scaleRows,"wall_s":${fmt2(elapsed)}$trunc,"cpu_mops":$spinJson"""
     }
 
-    // verbose artifact (everything, committed to the repo by the builder)
+    // verbose artifact (everything). Committed by the builder under a
+    // round-tagged name via SPARK_GRAFT_BENCH_FULL_PATH; the driver's
+    // untagged runs land on the default name so they stop clobbering the
+    // committed healthy-run artifact (VERDICT r4 "What's wrong" #5).
     val verboseQs = results.map { case (k, v) => s""""$k":${fmt(v)}""" }
       .mkString("{", ",", "}")
     val guardJson = guardReruns.map(jstr).mkString("[", ",", "]")
-    val verbose = s"""{"metric":"total","value":${fmt(total)},${header(compact = false)},"queries":$verboseQs,"query_errors":${kvJson(queryErrors)},"errors":${kvJson(errors)},"guard_reruns":$guardJson,"mem_bw_gbps":${bwJson(compact = false)},"maintenance":${maintJson(compact = false)}}"""
+    val skippedJson = skipped.map(jstr).mkString("[", ",", "]")
+    val verbose = s"""{"metric":"total","value":${fmt(total)},${header(compact = false)},"queries":$verboseQs,"query_errors":${kvJson(queryErrors)},"errors":${kvJson(errors)},"guard_reruns":$guardJson,"skipped":$skippedJson,"mem_bw_gbps":${bwJson(compact = false)},"maintenance":${maintJson(compact = false)}}"""
     try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("BENCH_FULL.json"), verbose + "\n")
+      java.nio.file.Paths.get(sys.env.getOrElse(
+        "SPARK_GRAFT_BENCH_FULL_PATH", "BENCH_FULL.json")), verbose + "\n")
     catch { case _: Throwable => () }
 
-    // compact driver line — LAST line on stdout, sized to fit the tail
-    val compactQs = results.map { case (k, v) => s""""$k":${fmt2(v)}""" }
+    // compact driver line — LAST line on stdout, sized to fit the tail.
+    // Query keys shrink to their unique 3-char prefixes (q01, d02, m10 …;
+    // the driver contract's own example uses "q1"-style keys) — full
+    // names + 4-decimal values live in the verbose artifact.
+    val compactQs = results.map { case (k, v) => s""""${k.take(3)}":${fmt2(v)}""" }
       .mkString("{", ",", "}")
     val errPart =
-      if (queryErrors.isEmpty && errors.isEmpty) ""
-      else s""","query_errors":${kvJson(queryErrors)},"errors":${kvJson(errors)}"""
+      (if (queryErrors.isEmpty && errors.isEmpty) ""
+       else s""","query_errors":${kvJson(queryErrors)},"errors":${kvJson(errors)}""") +
+      (if (skipped.isEmpty) "" else s""","skipped":$skippedJson""")
     println(s"""{"metric":"total","value":${fmt2(total)},${header(compact = true)},"mem_bw_gbps":${bwJson(compact = true)},"queries":$compactQs$errPart,"maintenance":${maintJson(compact = true)}}""")
   }
 }

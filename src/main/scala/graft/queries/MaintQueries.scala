@@ -75,6 +75,10 @@ object MaintQueries {
   def manifestDumpPath(dir: String): String =
     s"/tmp/graft_oracle/${dir.replace('/', '_')}/m02_manifest.parquet"
 
+  /** m11's manifest dump — same `{SF_DIR}` contract as m02's. */
+  def m11DumpPath(dir: String): String =
+    s"/tmp/graft_oracle/${dir.replace('/', '_')}/m11_manifest.parquet"
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // FFD bin-packing compaction: content facts must survive the rewrite
@@ -310,12 +314,81 @@ object MaintQueries {
       Expire.run(t, retain = 1)
       StreamOps.appendBatch(t, b1, "s02", 1L) // replay after expire
       contentFacts(t.scan()._1)
+    }),
+
+    // IVF cells → engine file-skipping (VERDICT r4 stretch #8): every
+    // embedding gets its e05 coarse-quantizer cell (16 driver-collected
+    // seed centroids, cosine argmax, min-id tiebreak — the proven
+    // bit-exact formulation), the vectors land in a graft table
+    // PARTITIONED by that cell (source = 'cell-XX' — at 100 TB the cell
+    // column IS the natural clustering key), the table is cluster-
+    // rewritten, and a 4-probe ANN-style read goes through the engine's
+    // stats-pruned scan. The dumped manifest lets DuckDB replay the
+    // In-predicate skipping decision (file kept iff ANY probe cell
+    // intersects its source min/max) and recompute the matched rows'
+    // content from first principles; `pruned_half` gates
+    // filesKept/filesTotal < 0.5 in the ORACLE, not just a spec.
+    "m11_ivf_cell_prune" -> ((s, dir) => {
+      import s.implicits._
+      val e = s.read.parquet(s"$dir/embeddings.parquet")
+        .select(col("vec_id"), VectorOps.d(col("embedding")).as("de"))
+      val cents: Seq[(Int, Array[Double])] = e.filter(col("vec_id") < 16)
+        .collect()
+        .map(r => (r.getLong(0).toInt, r.getSeq[Double](1).toArray))
+        .sortBy(_._1).toSeq
+      val scoreArr = array(cents.map { case (id, ce) =>
+        struct(VectorOps.cosine(col("de"), typedLit(ce)).as("c"),
+          lit(-id).as("nid"))
+      }: _*)
+      val scored = e.withColumn("scores", scoreArr)
+      val cells = scored.select(col("vec_id"), col("de"),
+        (-array_max(col("scores")).getField("nid")).as("cell"))
+      // tokens = floor(coord*1000) ints: exact double arithmetic both
+      // engines replay bit-identically (the d05/e05-proven discipline)
+      val fx = cells.select(
+        col("vec_id").cast("string").as("doc_id"),
+        transform(col("de"), x => floor(x * 1000).cast("int")).as("tokens"),
+        lit(64).as("n_tok"),
+        concat(lit("cell-"),
+          lpad(col("cell").cast("string"), 2, "0")).as("source"))
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-q-ivfcell").toString
+      val t = TokenTable.create(root, s)
+      t.append(fx, targetFileCount = 8, nowMs = 1L)
+      Rewrite.cluster(t, s, RewriteConfig(targetFileBytes = 8L * 1024,
+        sortBy = "zkey"), nowMs = 2L)
+      val files = t.log.dataFiles(t.log.current().get)
+      files.map { f =>
+        val src = f.stats.get("source")
+        (f.path, src.map(_.min).orNull, src.map(_.max).orNull)
+      }.toDF("path", "src_min", "src_max")
+        .coalesce(1).write.mode("overwrite").parquet(m11DumpPath(dir))
+      // probe set: the 4 nearest cells of query vector 0 (one driver row)
+      val probeCells: Seq[Int] = scored.filter(col("vec_id") === 0)
+        .select(transform(slice(sort_array(col("scores"), asc = false), 1, 4),
+          x => -x.getField("nid")).as("pc"))
+        .collect()(0).getSeq[Int](0)
+      val pred = Predicate.In("source", probeCells.map(c => f"cell-$c%02d"))
+      val (df, m) = t.scan(pred)
+      val facts = df.agg(count(lit(1)).as("n"), sum(rowFp).as("fp")).collect()(0)
+      Seq((m.filesKept.toLong, m.filesTotal.toLong,
+        if (m.filesKept * 2 < m.filesTotal) 1L else 0L,
+        facts.getLong(0), facts.getLong(1)))
+        .toDF("files_kept", "files_total", "pruned_half", "n_rows", "fp_sum")
     }))
 
   /** `{SF_DIR}` survives manifestDumpPath's '/'-mangling untouched;
     * Verify rewrites it to the actual run dir when dumping oracle_sql. */
   private val m02OracleDump =
     manifestDumpPath("{SF_DIR}")
+
+  private val m11OracleDump =
+    m11DumpPath("{SF_DIR}")
+
+  /** sequential double dot product over two `de` list columns (the
+    * e05-proven bit-exact formulation). */
+  private def dotDe(a: String, b: String): String =
+    s"list_aggregate(list_transform(range(1, 65), i -> $a.de[i] * $b.de[i]), 'sum')"
 
   val oracle: Map[String, String] = Map(
     "m01_compact" -> oracleFacts("documents"),
@@ -459,6 +532,49 @@ object MaintQueries {
         |  CAST(sum(CAST(('0x' || substr(md5(doc_id || ':' ||
         |    array_to_string(toks, ',')), 1, 12)) AS BIGINT)) AS BIGINT) AS fp_sum
         |FROM tok WHERE n_tok % 3 <> 2 GROUP BY source ORDER BY source""".stripMargin,
+
+    // replay the IVF cell assignment (e05's exact formulation), the
+    // 4-probe set of query vector 0, the manifest file-skipping decision,
+    // and the matched rows' content facts
+    "m11_ivf_cell_prune" ->
+      s"""WITH e AS (
+         |  SELECT vec_id,
+         |    list_transform(range(1, 65), i -> CAST(embedding[i] AS DOUBLE)) AS de
+         |  FROM embeddings),
+         |cents AS (SELECT vec_id AS cent_id, de FROM e WHERE vec_id < 16),
+         |ass AS (
+         |  SELECT vec_id, de, cent_id,
+         |    row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY ccos DESC, cent_id ASC) AS r
+         |  FROM (
+         |    SELECT v.vec_id, v.de, c.cent_id,
+         |      (${dotDe("v", "c")} /
+         |       (sqrt(${dotDe("v", "v")}) * sqrt(${dotDe("c", "c")}))) AS ccos
+         |    FROM e v, cents c)),
+         |cells AS (SELECT vec_id, de, cent_id AS cell FROM ass WHERE r = 1),
+         |probe AS (
+         |  SELECT 'cell-' || lpad(CAST(cent_id AS VARCHAR), 2, '0') AS psrc
+         |  FROM ass WHERE vec_id = 0 AND r <= 4),
+         |mf AS (SELECT * FROM read_parquet('$m11OracleDump/*.parquet')),
+         |kept AS (
+         |  SELECT count(*) AS files_kept FROM mf
+         |  WHERE EXISTS (SELECT 1 FROM probe p
+         |    WHERE (mf.src_min IS NULL OR mf.src_min <= p.psrc)
+         |      AND (mf.src_max IS NULL OR mf.src_max >= p.psrc))),
+         |matched AS (
+         |  SELECT count(*) AS n_rows,
+         |    CAST(sum(CAST(('0x' || substr(md5(CAST(c.vec_id AS VARCHAR) || ':' ||
+         |      array_to_string(list_transform(c.de,
+         |        x -> CAST(floor(x * 1000) AS BIGINT)), ',')), 1, 12))
+         |      AS BIGINT)) AS BIGINT) AS fp_sum
+         |  FROM cells c JOIN probe p
+         |    ON ('cell-' || lpad(CAST(c.cell AS VARCHAR), 2, '0')) = p.psrc)
+         |SELECT CAST(kept.files_kept AS BIGINT) AS files_kept,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM mf) AS files_total,
+         |  CAST(CASE WHEN kept.files_kept * 2 < (SELECT count(*) FROM mf)
+         |    THEN 1 ELSE 0 END AS BIGINT) AS pruned_half,
+         |  CAST(matched.n_rows AS BIGINT) AS n_rows, matched.fp_sum
+         |FROM kept, matched""".stripMargin,
 
     "m05_salted_agg" ->
       """SELECT source,

@@ -24,7 +24,7 @@ object VectorOps {
     s.read.parquet(s"$dir/embeddings.parquet")
 
   /** elementwise double cast */
-  private def d(c: Column): Column = transform(c, x => x.cast("double"))
+  private[queries] def d(c: Column): Column = transform(c, x => x.cast("double"))
 
   /** sequential double fold of a*b */
   private def dot(a: Column, b: Column): Column =
@@ -32,7 +32,7 @@ object VectorOps {
 
   private def norm(a: Column): Column = sqrt(dot(a, a))
 
-  private def cosine(a: Column, b: Column): Column =
+  private[queries] def cosine(a: Column, b: Column): Column =
     dot(a, b) / (norm(a) * norm(b))
 
   /** 4-bit sign-LSH bucket from block sums of 16 coordinates each */
