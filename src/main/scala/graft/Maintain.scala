@@ -22,6 +22,8 @@ import graft.maint.{Expire, Merge, Rewrite, RewriteConfig}
  *   rewrite-manifests                            metadata compaction
  *   describe                                     file/size/version summary
  *   scan     [--source S] [--min-tok A] [--max-tok B]  pruned scan + metrics
+ *   scan-added --from-version F [--to-version T]  incremental append scan
+ *   rollback --to-version V                      restore an earlier state
  * }}}
  *
  * Local runs honor SPARK_GRAFT_CPUS (two parallelism levels = the sandbox's
@@ -200,6 +202,21 @@ object Maintain {
           val n = df.count()
           println(s"rows=$n filesKept=${m.filesKept}/${m.filesTotal} " +
             f"pruning=${m.pruningRatio}%.3f bytesKept=${m.bytesKept}/${m.bytesTotal}")
+        case "scan-added" =>
+          val t = TokenTable.load(root, spark)
+          val from = opts.getOrElse("from-version",
+            { System.err.println("error: --from-version is required"); sys.exit(2); "" }).toLong
+          val to = opts.get("to-version").map(_.toLong)
+          val (df, m) = t.scanAdded(from, to)
+          val n = df.count()
+          println(s"rows=$n addedFiles=${m.filesKept}/${m.filesTotal} " +
+            s"addedBytes=${m.bytesKept}")
+        case "rollback" =>
+          val t = TokenTable.load(root, spark)
+          val to = opts.getOrElse("to-version",
+            { System.err.println("error: --to-version is required"); sys.exit(2); "" }).toLong
+          val s = t.rollback(to, nowMs)
+          report(t, s.version)
         case other =>
           System.err.println(s"error: unknown command '$other'"); usage()
           spark.stop(); sys.exit(2)
@@ -236,7 +253,7 @@ object Maintain {
   }
 
   private def usage(): Unit = System.err.println(
-    """usage: graft.Maintain <init|append|compact|zorder|hilbert|merge|replace|evolve|expire|rewrite-manifests|dq|describe|scan|sql> --table <root> [options]
+    """usage: graft.Maintain <init|append|compact|zorder|hilbert|merge|replace|evolve|expire|rewrite-manifests|dq|describe|scan|scan-added|rollback|sql> --table <root> [options]
       |  init/append: --rows N --seed S --files K
       |  compact/zorder/hilbert: --target-mb M [--sort-by docid|zkey|hilbert|none]
       |  merge: --updates U --inserts I --deletes D --seed S
@@ -244,5 +261,7 @@ object Maintain {
       |  evolve: --column "name type"   (metadata-only ADD COLUMN)
       |  expire: --retain K [--sweep-orphans [--grace-hours H]]
       |  scan: --source S --min-tok A --max-tok B
+      |  scan-added: --from-version F [--to-version T]   (incremental append scan)
+      |  rollback: --to-version V   (restore an earlier state as a new commit)
       |  sql: --query "SELECT ... FROM graft_tokens ..." [--version N]   (N = time travel)""".stripMargin)
 }

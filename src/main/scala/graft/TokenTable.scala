@@ -265,6 +265,111 @@ final class TokenTable(val log: SnapshotLog, spark: SparkSession) {
     (df, metrics)
   }
 
+  /**
+   * Incremental append scan (Iceberg's "appends-between" read): rows ADDED
+   * by append-family commits in (fromVersion, toVersion], without
+   * re-reading table history — the read a downstream training-data
+   * consumer does after every ingest cycle ("give me only what's new
+   * since the version I last processed"). At 10^12 rows re-scanning the
+   * table per cycle is unaffordable; this is metadata-priced: a commit's
+   * added files are EXACTLY the manifests in its list absent from its
+   * parent's (appends add one manifest and reuse the parent's, so the
+   * set diff is small and exact — no file-level diffing).
+   *
+   * Commit classification (every operation stamped by this engine):
+   *  - append / stream_append / sql_insert add rows as new files → their
+   *    manifest diff is the delta;
+   *  - compact / zorder / hilbert / rewrite_manifests / evolve_schema /
+   *    create move bytes or metadata but change NO logical rows → skipped
+   *    (their rewritten files must NOT be double-counted);
+   *  - merge / replace_partitions / rollback CHANGE rows — an append-only
+   *    delta cannot represent a row that disappeared, so the scan REFUSES
+   *    (same contract as Iceberg's incremental scan, which throws on
+   *    overwrite snapshots). Callers straddling such a commit fall back
+   *    to a full scan of `toVersion`.
+   *
+   * History must still be present: snapshot expire deletes old version
+   * files and GCs their unreachable data, so an incremental read reaches
+   * only non-expired history (the natural error surfaces as a missing
+   * snapshot file).
+   */
+  def scanAdded(fromVersion: Long, toVersion: Option[Long] = None,
+      pred: Predicate = Predicate.True): (DataFrame, ScanMetrics) = {
+    val to = toVersion.orElse(log.currentVersion())
+      .getOrElse(sys.error(s"no table at $root"))
+    require(to >= fromVersion,
+      s"toVersion $to precedes fromVersion $fromVersion")
+    val toSnap = log.snapshot(to)
+    val rowNeutral = Set("create", "compact", "zorder", "hilbert",
+      "rewrite_manifests", "evolve_schema")
+    val appendLike = Set("append", "stream_append", "sql_insert")
+    val added = Seq.newBuilder[DataFile]
+    var v = to
+    while (v > fromVersion) {
+      val s = log.snapshot(v)
+      if (appendLike(s.operation)) {
+        val parentManifests: Set[String] =
+          if (s.parentVersion < 0) Set.empty
+          else log.snapshot(s.parentVersion).manifestList.map(_.path).toSet
+        added ++= s.manifestList.filterNot(m => parentManifests(m.path))
+          .flatMap(m => log.readManifest(m).entries)
+      } else if (!rowNeutral(s.operation)) {
+        throw new IllegalStateException(
+          s"incremental scan cannot represent '${s.operation}' at v$v " +
+          s"(rows changed, not only added); full-scan v$to instead")
+      }
+      v = s.parentVersion
+    }
+    val all = added.result()
+    val kept = all.filter(f => pred.mightMatch(f.stats))
+    val metrics = ScanMetrics(all.size, kept.size,
+      all.iterator.map(_.bytes).sum, kept.iterator.map(_.bytes).sum)
+    val snapSchema = schemaOf(toSnap)
+    val df =
+      if (kept.isEmpty)
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          snapSchema)
+      else
+        spark.read.schema(snapSchema)
+          .parquet(kept.map(f => log.absolute(f.path).toString): _*)
+          .filter(pred.toColumn)
+    (df, metrics)
+  }
+
+  /**
+   * Roll the table back to an earlier version's STATE as a NEW commit
+   * (Delta RESTORE / Iceberg rollback): the new snapshot points at
+   * `toVersion`'s manifest list, schema, and partition spec. History is
+   * preserved — the rollback itself can be rolled back — and the files
+   * added by the rolled-over commits stay on disk until snapshot expire
+   * GCs them by reachability (they become unreachable once the pre-
+   * rollback head falls out of retention).
+   *
+   * Semantics notes, both deliberate:
+   *  - the commit intentionally does NOT carry concurrent writes forward:
+   *    restoring a state means exactly that state wins (the same contract
+   *    as Delta RESTORE); the optimistic-retry loop re-reads the head only
+   *    to chain version numbers;
+   *  - stream exactly-once markers are carried from the CURRENT head, not
+   *    the target: restoring data does not un-commit a stream's progress —
+   *    the stream's own checkpoint is the source of truth for what was
+   *    delivered, and replaying batch N into a rolled-back table would
+   *    double-deliver it the moment the operator rolls forward again.
+   */
+  def rollback(toVersion: Long, nowMs: Long = 0L): Snapshot = {
+    val target = log.snapshot(toVersion)
+    log.commit() { base =>
+      val prev = base.getOrElse(sys.error(s"no table at $root"))
+      require(toVersion <= prev.version,
+        s"cannot roll back to future v$toVersion (head is v${prev.version})")
+      Snapshot(0L, -1L, nowMs, "rollback",
+        carried(prev) ++ Map(
+          "rollback-to" -> toVersion.toString,
+          "rollback-from" -> prev.version.toString),
+        target.schemaDDL, target.partitionCols, target.manifestList)
+    }
+  }
+
   /** Table description from metadata alone (file-count/size histogram —
     * the engine's analog of the reference's DESCRIBE/check_table tooling,
     * /root/reference/spark/jobs/check_table.py:15-27). */

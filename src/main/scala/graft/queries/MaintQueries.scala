@@ -375,6 +375,49 @@ object MaintQueries {
         if (m.filesKept * 2 < m.filesTotal) 1L else 0L,
         facts.getLong(0), facts.getLong(1)))
         .toDF("files_kept", "files_total", "pruned_half", "n_rows", "fp_sum")
+    }),
+
+    // incremental append scan + rollback, gated by the ORACLE: three
+    // appends (fixture slices by n_tok % 3) with a row-neutral compaction
+    // interleaved, then (a) scanAdded past the first append must return
+    // EXACTLY slices 1 ∪ 2 — the compact's rewritten files (which contain
+    // every row again) must not double-count; (b) rollback to v2 followed
+    // by a retain-1 snapshot expire must leave EXACTLY slices 0 ∪ 1 —
+    // reachability GC may delete the rolled-over files but nothing the
+    // restored state references. DuckDB recomputes both legs from first
+    // principles; any double-count, lost row, or over-eager GC changes
+    // n_rows/fp_sum.
+    "m12_incremental_rollback" -> ((s, dir) => {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-q-incr").toString
+      val t = TokenTable.create(root, s) // v0
+      val fx = fixture(s, dir)
+      t.append(fx.filter(pmod(col("n_tok"), lit(3)) === 0),
+        targetFileCount = 4, nowMs = 1L) // v1
+      t.append(fx.filter(pmod(col("n_tok"), lit(3)) === 1),
+        targetFileCount = 4, nowMs = 2L) // v2
+      Rewrite.compact(t, s, RewriteConfig(targetFileBytes = 64L * 1024,
+        sortBy = "docid"), nowMs = 3L) // v3 — row-neutral
+      t.append(fx.filter(pmod(col("n_tok"), lit(3)) === 2),
+        targetFileCount = 4, nowMs = 4L) // v4
+      def facts(df: DataFrame, leg: String) =
+        df.groupBy("source").agg(
+          count(lit(1)).as("n_rows"),
+          sum(col("n_tok").cast("long")).as("sum_tok"),
+          sum(rowFp).as("fp_sum"))
+          .withColumn("leg", lit(leg))
+      // MATERIALIZE the incremental leg before rollback+expire: the GC
+      // below legitimately deletes the slice-2 files this lazy plan reads
+      // (they are unreachable from the restored state), so the per-source
+      // facts (a handful of rows) are pinned driver-side first
+      val incFacts = facts(t.scanAdded(1)._1, "incremental") // slices 1 ∪ 2
+      val incRows = incFacts.collect().toIndexedSeq
+      val inc = s.createDataFrame(
+        s.sparkContext.parallelize(incRows, 1), incFacts.schema)
+      t.rollback(2L, nowMs = 5L) // v5 = state of v2 (slices 0 ∪ 1)
+      Expire.run(t, retain = 1)
+      inc.unionByName(facts(t.scan()._1, "after_rollback"))
+        .orderBy("leg", "source")
     }))
 
   /** `{SF_DIR}` survives manifestDumpPath's '/'-mangling untouched;
@@ -575,6 +618,26 @@ object MaintQueries {
          |    THEN 1 ELSE 0 END AS BIGINT) AS pruned_half,
          |  CAST(matched.n_rows AS BIGINT) AS n_rows, matched.fp_sum
          |FROM kept, matched""".stripMargin,
+
+    // two legs recomputed from first principles: `incremental` = the rows
+    // appended AFTER v1 (fixture slices n_tok%3 in {1,2} — the interleaved
+    // compact must not double-count), `after_rollback` = the restored v2
+    // state post-expire (slices {0,1})
+    "m12_incremental_rollback" ->
+      """WITH tok AS (
+        |  SELECT CAST(doc_id AS VARCHAR) AS doc_id, source,
+        |    list_transform(string_split(text,' '), w -> length(w)) AS toks,
+        |    len(string_split(text,' ')) AS n_tok
+        |  FROM documents),
+        |legs AS (
+        |  SELECT 'incremental' AS leg, * FROM tok WHERE n_tok % 3 IN (1, 2)
+        |  UNION ALL
+        |  SELECT 'after_rollback' AS leg, * FROM tok WHERE n_tok % 3 IN (0, 1))
+        |SELECT leg, source, count(*) AS n_rows,
+        |  CAST(sum(n_tok) AS BIGINT) AS sum_tok,
+        |  CAST(sum(CAST(('0x' || substr(md5(doc_id || ':' ||
+        |    array_to_string(toks, ',')), 1, 12)) AS BIGINT)) AS BIGINT) AS fp_sum
+        |FROM legs GROUP BY leg, source ORDER BY leg, source""".stripMargin,
 
     "m05_salted_agg" ->
       """SELECT source,
