@@ -201,7 +201,8 @@ object Maintain {
           val (df, m) = t.scan(pred)
           val n = df.count()
           println(s"rows=$n filesKept=${m.filesKept}/${m.filesTotal} " +
-            f"pruning=${m.pruningRatio}%.3f bytesKept=${m.bytesKept}/${m.bytesTotal}")
+            f"pruning=${m.pruningRatio}%.3f bytesKept=${m.bytesKept}/${m.bytesTotal} " +
+            s"manifestsKept=${m.manifestsKept}/${m.manifestsTotal}")
         case "scan-added" =>
           val t = TokenTable.load(root, spark)
           val from = opts.getOrElse("from-version",

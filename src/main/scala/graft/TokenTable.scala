@@ -14,7 +14,9 @@ final case class ScanMetrics(
     filesTotal: Int,
     filesKept: Int,
     bytesTotal: Long,
-    bytesKept: Long) {
+    bytesKept: Long,
+    manifestsTotal: Int = 0,
+    manifestsKept: Int = 0) {
   def pruningRatio: Double =
     if (filesTotal == 0) 0.0 else 1.0 - filesKept.toDouble / filesTotal
 }
@@ -241,15 +243,27 @@ final class TokenTable(val log: SnapshotLog, spark: SparkSession) {
     }
   }
 
-  /** Snapshot-pinned, stats-pruned scan. */
+  /** Snapshot-pinned, stats-pruned scan. TWO pruning levels, both from
+    * the same conservative `Predicate.mightMatch`:
+    *  1. MANIFEST level — a manifest whose rollup stats (carried in its
+    *     ManifestRef, so no file read) cannot match is skipped whole.
+    *     At 10^6 manifests this keeps planner cost O(matching manifests)
+    *     instead of O(commits); rollup-less refs (pre-upgrade) and the
+    *     totals in the metrics stay conservative via fileCount/bytes.
+    *  2. FILE level — surviving manifests are opened and their entries
+    *     pruned per-file as before. */
   def scan(pred: Predicate = Predicate.True, version: Option[Long] = None)
       : (DataFrame, ScanMetrics) = {
     val snap = version.map(log.snapshot).orElse(log.current())
       .getOrElse(sys.error(s"no table at $root"))
-    val all = log.dataFiles(snap)
+    val liveRefs = snap.manifestList
+    val openedRefs = liveRefs.filter(_.stats.forall(pred.mightMatch))
+    val all = openedRefs.flatMap(m => log.readManifest(m).entries)
     val kept = all.filter(f => pred.mightMatch(f.stats))
-    val metrics = ScanMetrics(all.size, kept.size,
-      all.iterator.map(_.bytes).sum, kept.iterator.map(_.bytes).sum)
+    val metrics = ScanMetrics(
+      liveRefs.iterator.map(_.fileCount).sum, kept.size,
+      liveRefs.iterator.map(_.bytes).sum, kept.iterator.map(_.bytes).sum,
+      manifestsTotal = liveRefs.size, manifestsKept = openedRefs.size)
     // scans read under the SNAPSHOT's schema: files written before an
     // addColumn evolution lack the column and the parquet reader fills it
     // with null (schema unification without rewrite)
@@ -312,6 +326,7 @@ final class TokenTable(val log: SnapshotLog, spark: SparkSession) {
           if (s.parentVersion < 0) Set.empty
           else log.snapshot(s.parentVersion).manifestList.map(_.path).toSet
         added ++= s.manifestList.filterNot(m => parentManifests(m.path))
+          .filter(_.stats.forall(pred.mightMatch)) // manifest-level prune
           .flatMap(m => log.readManifest(m).entries)
       } else if (!rowNeutral(s.operation)) {
         throw new IllegalStateException(

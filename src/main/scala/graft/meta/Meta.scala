@@ -66,12 +66,49 @@ final case class ManifestFile(entries: Seq[DataFile]) {
 }
 
 /** Pointer to a manifest, with rollup stats so planners can work
-  * manifest-granular before opening anything. */
+  * manifest-granular before opening anything. `stats` is the per-column
+  * min/max/null rollup over the manifest's files (Iceberg's manifest-list
+  * partition summaries): at 10^6 manifests a scan must be able to skip a
+  * manifest WITHOUT opening it — planner cost O(matching manifests), not
+  * O(commits). None = written before rollups existed → conservative keep. */
 final case class ManifestRef(
     path: String,
     fileCount: Int,
     rows: Long,
-    bytes: Long)
+    bytes: Long,
+    stats: Option[Map[String, ColStats]] = None)
+
+object ManifestRef {
+  /**
+   * Conservative per-column rollup across a manifest's files. A column is
+   * present in the rollup only when EVERY file carries stats for it
+   * (a file missing the column makes its range unknown — omitting the
+   * column keeps `mightMatch` trivially true). Null min/max in any file
+   * propagates null (range unknown, counts still summed): every
+   * `Predicate.mightMatch` case treats null bounds as "might match", and
+   * the two count-based prunes stay exact — Ne skips only when
+   * min==max==v with ZERO nulls summed across all files, IsNotNull skips
+   * only when the summed nullCount reaches the summed valueCount (all
+   * values in the whole manifest null).
+   */
+  def rollup(entries: Seq[DataFile]): Map[String, ColStats] = {
+    if (entries.isEmpty) return Map.empty
+    val cols = entries.map(_.stats.keySet).reduce(_ intersect _)
+    cols.iterator.map { c =>
+      val ss = entries.map(_.stats(c))
+      val tpe = ss.head.tpe
+      val anyNullBound = ss.exists(s => s.min == null || s.max == null)
+      val (mn, mx) =
+        if (anyNullBound) (null: String, null: String)
+        else (ss.map(_.min).reduce((a, b) =>
+                if (graft.Predicate.cmp(tpe, a, b) <= 0) a else b),
+              ss.map(_.max).reduce((a, b) =>
+                if (graft.Predicate.cmp(tpe, a, b) >= 0) a else b))
+      c -> ColStats(tpe, mn, mx,
+        ss.iterator.map(_.nullCount).sum, ss.iterator.map(_.valueCount).sum)
+    }.toMap
+  }
+}
 
 /** Thrown when a rewrite commit loses an optimistic race to a concurrent
   * pass that already removed (and rewrote) one of its input files. The
@@ -129,14 +166,16 @@ final class SnapshotLog(val root: String) {
   def dataFiles(s: Snapshot): Seq[DataFile] =
     s.manifestList.flatMap(m => readManifest(m).entries)
 
-  /** Persist a new manifest file; returns its ref. */
+  /** Persist a new manifest file; returns its ref (with the per-column
+    * min/max rollup planners prune on before opening the manifest). */
   def writeManifest(entries: Seq[DataFile]): ManifestRef = {
     val name = s"meta/manifests/m-${java.util.UUID.randomUUID().toString}.json"
     val p = Paths.get(root).resolve(name)
     Files.writeString(p, Json.write(ManifestFile(entries)),
       StandardOpenOption.CREATE_NEW, StandardOpenOption.WRITE)
     ManifestRef(name, entries.size,
-      entries.iterator.map(_.rows).sum, entries.iterator.map(_.bytes).sum)
+      entries.iterator.map(_.rows).sum, entries.iterator.map(_.bytes).sum,
+      Some(ManifestRef.rollup(entries)))
   }
 
   /**

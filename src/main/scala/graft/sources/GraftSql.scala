@@ -39,8 +39,19 @@ import graft.meta.Snapshot
 final class GraftFileIndex(val table: TokenTable, snap: Snapshot,
     spark: SparkSession) extends FileIndex {
 
-  private val files = table.log.dataFiles(snap)
-  private val totalBytes = files.iterator.map(_.bytes).sum
+  // Manifest-granular planning state: totals come from the manifest-list
+  // rollups alone, and a manifest is OPENED only when a filter cannot rule
+  // it out (at 10^6 manifests eager listing would be a driver storm —
+  // Iceberg's manifest-list partition summaries play the same role).
+  // Opened manifests are memoized: Spark may call listFiles several times
+  // while planning one query.
+  private val liveRefs = snap.manifestList
+  private val totalBytes = liveRefs.iterator.map(_.bytes).sum
+  private val totalFiles = liveRefs.iterator.map(_.fileCount).sum
+  private val manifestCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[graft.meta.DataFile]]()
+  private def entriesOf(m: graft.meta.ManifestRef): Seq[graft.meta.DataFile] =
+    manifestCache.computeIfAbsent(m.path, _ => table.log.readManifest(m).entries)
 
   /** Metrics of the most recent planning call — pruning evidence. */
   @volatile var lastScan: Option[ScanMetrics] = None
@@ -55,7 +66,8 @@ final class GraftFileIndex(val table: TokenTable, snap: Snapshot,
   override def sizeInBytes: Long = totalBytes
 
   override def inputFiles: Array[String] =
-    files.map(f => table.log.absolute(f.path).toString).toArray
+    liveRefs.flatMap(entriesOf)
+      .map(f => table.log.absolute(f.path).toString).toArray
 
   override def refresh(): Unit = ()
 
@@ -63,9 +75,12 @@ final class GraftFileIndex(val table: TokenTable, snap: Snapshot,
       dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
     val pred = dataFilters.map(toPredicate)
       .reduceOption(Predicate.And(_, _)).getOrElse(Predicate.True)
-    val kept = files.filter(f => pred.mightMatch(f.stats))
-    lastScan = Some(ScanMetrics(files.size, kept.size,
-      totalBytes, kept.iterator.map(_.bytes).sum))
+    val openedRefs = liveRefs.filter(_.stats.forall(pred.mightMatch))
+    val kept = openedRefs.flatMap(entriesOf)
+      .filter(f => pred.mightMatch(f.stats))
+    lastScan = Some(ScanMetrics(totalFiles, kept.size,
+      totalBytes, kept.iterator.map(_.bytes).sum,
+      manifestsTotal = liveRefs.size, manifestsKept = openedRefs.size))
     val statuses = kept.map { f =>
       new FileStatus(f.bytes, false, 1, 128L * 1024 * 1024, 0L,
         new HPath(table.log.absolute(f.path).toUri))
