@@ -873,10 +873,21 @@ object Bench {
     // names + 4-decimal values live in the verbose artifact.
     val compactQs = results.map { case (k, v) => s""""${k.take(3)}":${fmt2(v)}""" }
       .mkString("{", ",", "}")
+    // compact line collapses per-query skip entries to a count — 50
+    // `query:<name>` strings would blow the ~1850-char stdout budget;
+    // the verbose artifact keeps the full list
+    val skippedCompact = {
+      val (qs, rest) = skipped.partition(_.startsWith("query:"))
+      (rest ++ (if (qs.nonEmpty) Seq(s"queries-skipped:${qs.size}") else Nil))
+        .map(jstr).mkString("[", ",", "]")
+    }
+    // error values truncated to 70 chars on the compact line (the four
+    // envelope disclosures at ~150 chars each would overflow the tail);
+    // full text lives in the verbose artifact
     val errPart =
       (if (queryErrors.isEmpty && errors.isEmpty) ""
-       else s""","query_errors":${kvJson(queryErrors)},"errors":${kvJson(errors)}""") +
-      (if (skipped.isEmpty) "" else s""","skipped":$skippedJson""")
+       else s""","query_errors":${kvJson(queryErrors.map { case (k, v) => k -> v.take(70) })},"errors":${kvJson(errors.map { case (k, v) => k -> v.take(70) })}""") +
+      (if (skipped.isEmpty) "" else s""","skipped":$skippedCompact""")
     println(s"""{"metric":"total","value":${fmt2(total)},${header(compact = true)},"mem_bw_gbps":${bwJson(compact = true)},"queries":$compactQs$errPart,"maintenance":${maintJson(compact = true)}}""")
   }
 }

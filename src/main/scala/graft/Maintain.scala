@@ -24,6 +24,7 @@ import graft.maint.{Expire, Merge, Rewrite, RewriteConfig}
  *   scan     [--source S] [--min-tok A] [--max-tok B]  pruned scan + metrics
  *   scan-added --from-version F [--to-version T]  incremental append scan
  *   rollback --to-version V                      restore an earlier state
+ *   history                                      one line per snapshot
  * }}}
  *
  * Local runs honor SPARK_GRAFT_CPUS (two parallelism levels = the sandbox's
@@ -218,6 +219,20 @@ object Maintain {
             { System.err.println("error: --to-version is required"); sys.exit(2); "" }).toLong
           val s = t.rollback(to, nowMs)
           report(t, s.version)
+        case "history" =>
+          // DESCRIBE HISTORY analog: one line per retained snapshot, from
+          // metadata alone (manifest-list rollups — no manifest is opened)
+          val t = TokenTable.load(root, spark)
+          t.log.versions().foreach { v =>
+            val s = t.log.snapshot(v)
+            val files = s.manifestList.iterator.map(_.fileCount).sum
+            val rows = s.manifestList.iterator.map(_.rows).sum
+            val extra = s.summary.toSeq.sortBy(_._1)
+              .collect { case (k, x) if k != "source-dict" => s"$k=$x" }
+            println(s"v=$v parent=${s.parentVersion} op=${s.operation} " +
+              s"ts=${s.timestampMs} manifests=${s.manifestList.size} " +
+              s"files=$files rows=$rows ${extra.mkString(" ")}")
+          }
         case other =>
           System.err.println(s"error: unknown command '$other'"); usage()
           spark.stop(); sys.exit(2)
@@ -254,7 +269,7 @@ object Maintain {
   }
 
   private def usage(): Unit = System.err.println(
-    """usage: graft.Maintain <init|append|compact|zorder|hilbert|merge|replace|evolve|expire|rewrite-manifests|dq|describe|scan|scan-added|rollback|sql> --table <root> [options]
+    """usage: graft.Maintain <init|append|compact|zorder|hilbert|merge|replace|evolve|expire|rewrite-manifests|dq|describe|scan|scan-added|rollback|history|sql> --table <root> [options]
       |  init/append: --rows N --seed S --files K
       |  compact/zorder/hilbert: --target-mb M [--sort-by docid|zkey|hilbert|none]
       |  merge: --updates U --inserts I --deletes D --seed S
