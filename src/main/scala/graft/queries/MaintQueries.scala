@@ -336,11 +336,18 @@ object MaintQueries {
         .collect()
         .map(r => (r.getLong(0).toInt, r.getSeq[Double](1).toArray))
         .sortBy(_._1).toSeq
+      // row norm hoisted into one column (it divides all 16 centroid
+      // cosines — same doubles, computed once per row instead of 16×);
+      // centroid norms constant-fold (VecDot over two literals)
       val scoreArr = array(cents.map { case (id, ce) =>
-        struct(VectorOps.cosine(col("de"), typedLit(ce)).as("c"),
-          lit(-id).as("nid"))
+        struct((graft.functions.VecDot.dot(col("de"), typedLit(ce)) /
+            (col("__nrm") * sqrt(graft.functions.VecDot.dot(typedLit(ce), typedLit(ce)))))
+          .as("c"), lit(-id).as("nid"))
       }: _*)
-      val scored = e.withColumn("scores", scoreArr)
+      val scored = e
+        .withColumn("__nrm",
+          sqrt(graft.functions.VecDot.dot(col("de"), col("de"))))
+        .withColumn("scores", scoreArr)
       val cells = scored.select(col("vec_id"), col("de"),
         (-array_max(col("scores")).getField("nid")).as("cell"))
       // tokens = floor(coord*1000) ints: exact double arithmetic both

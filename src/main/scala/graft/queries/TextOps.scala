@@ -25,10 +25,18 @@ object TextOps {
 
   private val ws = split(col("text"), " ")
 
-  /** distinct bigram shingles of the space-separated word stream */
-  private val bigrams: Column = array_distinct(
+  /** distinct bigram shingles ALREADY HASHED to xxhash64 longs (d02's hot
+    * path — round 6): hashing the word pair directly inside the transform
+    * replaces building the bigram STRING, array_distinct over strings, and
+    * a post-explode rehash. `xxhash64(w1, w2)` (chained seeding) is
+    * injective on word pairs exactly as the hash of the joined string was
+    * on bigrams (words contain no separator, so pair ↔ string is 1:1);
+    * the hash values never reach the output — only pair identity matters —
+    * and the accepted 64-bit collision risk is unchanged (VERDICT r1
+    * next-step 7). */
+  private val bigramHashes: Column = array_distinct(
     transform(sequence(lit(1), size(ws) - 1),
-      i => concat_ws(" ", element_at(ws, i), element_at(ws, i + 1))))
+      i => xxhash64(element_at(ws, i), element_at(ws, i + 1))))
 
   /** default LSH bucket-size cap: generous for genuine near-dup clusters,
     * a hard bound on join blowup (pairs per bucket <= cap²/2) */
@@ -36,17 +44,33 @@ object TextOps {
 
   /** MinHash+LSH candidate pairs with a bucket-size skew guard — exposed
     * for the adversarial-corpus spec (constant-text input must stay
-    * bounded instead of going quadratic). */
+    * bounded instead of going quadratic).
+    *
+    * Round-6 shape (guide §2.4 — remove duplicate evaluation, not just
+    * shuffles): the 6-signature md5 pipeline is the entire cost, and the
+    * old two-projection union evaluated it once per band while the
+    * bucket-size guard and the two self-join sides re-evaluated the whole
+    * subtree again each (the before-plan shows 6 copies of the signature
+    * scan). Now (a) `array_distinct(ws)` is computed once in its own
+    * projection and shared by all 6 signatures (CollapseProject keeps a
+    * non-cheap alias referenced 6× materialized), (b) both bands leave one
+    * row via a single explode instead of a 2-way union, and (c) the tiny
+    * (doc_id, bkt, band) bucket table is cached for the guard + both join
+    * sides — an intra-query intermediate recomputed from parquet on every
+    * invocation, nothing persists across runs. */
   def minhashLshPairs(docsDf: DataFrame, bucketCap: Int): DataFrame = {
     def sig(i: Int): Column = array_min(
-      transform(array_distinct(ws), w => md5(concat(lit(s"$i:"), w))))
-    val d = docsDf.select(
-      col("doc_id"),
-      md5(concat_ws("|", sig(0), sig(1), sig(2))).as("band1"),
-      md5(concat_ws("|", sig(3), sig(4), sig(5))).as("band2"))
-    val b1 = d.select(col("doc_id"), col("band1").as("bkt"), lit(1L).as("band"))
-    val b2 = d.select(col("doc_id"), col("band2").as("bkt"), lit(2L).as("band"))
-    val all = b1.unionByName(b2)
+      transform(col("dw"), w => md5(concat(lit(s"$i:"), w))))
+    val d = docsDf.select(col("doc_id"), array_distinct(ws).as("dw"))
+      .select(
+        col("doc_id"),
+        md5(concat_ws("|", sig(0), sig(1), sig(2))).as("band1"),
+        md5(concat_ws("|", sig(3), sig(4), sig(5))).as("band2"))
+    val all = d.select(col("doc_id"), explode(array(
+        struct(col("band1").as("bkt"), lit(1L).as("band")),
+        struct(col("band2").as("bkt"), lit(2L).as("band")))).as("e"))
+      .select(col("doc_id"), col("e.bkt").as("bkt"), col("e.band").as("band"))
+      .cache()
     val small = all.groupBy("bkt", "band").agg(count(lit(1)).as("bn"))
       .filter(col("bn") <= bucketCap).drop("bn")
     val capped = all.join(small, Seq("bkt", "band"))
@@ -90,12 +114,10 @@ object TextOps {
     // three times and shuffled full postings twice more.
     "d02_dedup_ngram_jaccard" -> ((s, dir) => {
       val d = docs(s, dir)
-        .select(col("doc_id"), col("lang"), bigrams.as("sh"))
+        .select(col("doc_id"), col("lang"), bigramHashes.as("sh"))
         .withColumn("nsh", size(col("sh")).cast("long"))
       val posts = d.select(col("doc_id"), col("nsh"), col("lang"),
-          explode(col("sh")).as("g"))
-        .select(col("doc_id"), col("nsh"), col("lang"),
-          xxhash64(col("g")).as("gh"))
+          explode(col("sh")).as("gh"))
       // df is counted per shingle ACROSS langs (oracle semantics); lang
       // equality applies only at pair time
       val grouped = posts.groupBy("gh").agg(
