@@ -48,7 +48,7 @@ object BenchExtra {
       .config("spark.shuffle.file.buffer", "1m")
       .config("spark.sql.sources.parallelPartitionDiscovery.threshold", "8192")
       .config("spark.sql.shuffle.partitions", cpus.toString)
-      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.enabled", sys.env.getOrElse("BX_AQE", "true"))
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
@@ -75,6 +75,12 @@ object BenchExtra {
         val out = sel.map { case (name, fn) =>
           spark.sparkContext.setJobDescription(name)
           val samples = (1 to repeats).map { _ =>
+            // cold-cache every sample: some queries use intra-query
+            // .cache() barriers, and the CacheManager would satisfy a
+            // repeat's identical plan from the previous run — the driver
+            // times each query exactly once per session, so min-of-N must
+            // not be flattered by warm caches
+            spark.catalog.clearCache()
             val t0 = System.nanoTime()
             fn(spark, sfDir).count()
             (System.nanoTime() - t0) / 1e9
@@ -104,6 +110,73 @@ object BenchExtra {
               println(s"explain FAILED $name: ${e.toString.linesIterator.next()}")
             }
           }
+      case "jobs" =>
+        // job census: how much of a query's wall is Spark-job count ×
+        // dispatch floor vs real compute (guide §1 — know where time goes)
+        val prefixes = args.drop(1)
+        val sel = SparkEntry.queries.toSeq.sortBy(_._1)
+          .filter { case (n, _) => prefixes.isEmpty || prefixes.exists(n.startsWith) }
+        sel.headOption.foreach { case (_, fn) =>
+          try fn(spark, sfDir).count() catch { case _: Throwable => () } }
+        val t0all = new java.util.concurrent.atomic.AtomicLong
+        val nJobs = new java.util.concurrent.atomic.AtomicLong
+        val starts = new java.util.concurrent.ConcurrentHashMap[Int, Long]()
+        spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+          override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+            starts.put(j.jobId, System.nanoTime())
+          override def onJobEnd(j: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
+            val s = starts.remove(j.jobId)
+            if (s != null) { t0all.addAndGet(System.nanoTime() - s); nJobs.incrementAndGet() }
+          }
+        })
+        sel.foreach { case (name, fn) =>
+          spark.catalog.clearCache()
+          nJobs.set(0); t0all.set(0)
+          val t0 = System.nanoTime()
+          fn(spark, sfDir).count()
+          val wall = (System.nanoTime() - t0) / 1e9
+          Thread.sleep(200) // let listener drain
+          println(f"jobs $name%-28s wall=$wall%6.2f jobs=${nJobs.get}%3d jobwall=${t0all.get / 1e9}%6.2f")
+        }
+      case "probe-d02" =>
+        // stage isolation via the noop sink (guide §1.4)
+        import org.apache.spark.sql.functions._
+        val ws = split(col("text"), " ")
+        def shOf(w: org.apache.spark.sql.Column) = array_distinct(
+          transform(sequence(lit(1), size(w) - 1),
+            i => xxhash64(element_at(w, i), element_at(w, i + 1))))
+        val sh = shOf(ws) // lambda re-splits per element (the old shape)
+
+        def noop(df: org.apache.spark.sql.DataFrame, tag: String): Unit = {
+          spark.sparkContext.setJobDescription(s"d02probe-$tag")
+          val t0 = System.nanoTime()
+          df.write.format("noop").mode("overwrite").save()
+          println(f"d02probe $tag%-12s ${(System.nanoTime() - t0) / 1e9}%7.3f s")
+        }
+        val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+        noop(docs.select(col("doc_id")), "scan")
+        noop(docs.select(col("doc_id"), ws.as("ws")), "split")
+        val d = docs.select(col("doc_id"), col("lang"), sh.as("sh"))
+          .withColumn("nsh", size(col("sh")).cast("long"))
+        noop(d, "shingles")
+        noop(d, "shingles2") // repeat: JIT/cache-warm second pass
+        val dMat = docs.select(col("doc_id"), col("lang"), ws.as("w"))
+          .select(col("doc_id"), col("lang"), shOf(col("w")).as("sh"))
+          .withColumn("nsh", size(col("sh")).cast("long"))
+        noop(dMat, "shingles-mat") // split materialized before the lambda
+        val posts = dMat.select(col("doc_id"), col("nsh"), col("lang"),
+          explode(col("sh")).as("gh"))
+        noop(posts, "explode")
+        noop(posts, "explode2")
+        val grouped = posts.groupBy("gh").agg(
+            graft.functions.BoundedCollect.list(
+              struct(col("doc_id"), col("nsh"), col("lang")), 21).as("ds"),
+            count(lit(1)).as("df"))
+          .filter(col("df") <= 20 && col("df") >= 2)
+        noop(grouped, "grouped")
+        val t0 = System.nanoTime()
+        SparkEntry.queries("d02_dedup_ngram_jaccard")(spark, sfDir).count()
+        println(f"d02probe full        ${(System.nanoTime() - t0) / 1e9}%7.3f s")
       case other => sys.error(s"unknown mode $other")
     } finally spark.stop()
   }

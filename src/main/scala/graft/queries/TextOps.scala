@@ -33,10 +33,16 @@ object TextOps {
     * on bigrams (words contain no separator, so pair ↔ string is 1:1);
     * the hash values never reach the output — only pair identity matters —
     * and the accepted 64-bit collision risk is unchanged (VERDICT r1
-    * next-step 7). */
-  private val bigramHashes: Column = array_distinct(
-    transform(sequence(lit(1), size(ws) - 1),
-      i => xxhash64(element_at(ws, i), element_at(ws, i + 1))))
+    * next-step 7).
+    *
+    * Takes the word array as an ALREADY-MATERIALIZED column: HOFs are
+    * CodegenFallback, so a `split(...)` subtree inside the lambda body is
+    * re-evaluated interpreted on EVERY element (no common-subexpression
+    * elimination reaches inside) — measured ~2 s of d02's wall at sf0.1
+    * just re-splitting the text twice per bigram. */
+  private def bigramHashesOf(w: Column): Column = array_distinct(
+    transform(sequence(lit(1), size(w) - 1),
+      i => xxhash64(element_at(w, i), element_at(w, i + 1))))
 
   /** default LSH bucket-size cap: generous for genuine near-dup clusters,
     * a hard bound on join blowup (pairs per bucket <= cap²/2) */
@@ -113,9 +119,18 @@ object TextOps {
     // df-join + aliased self-join that recomputed the shingle pipeline
     // three times and shuffled full postings twice more.
     "d02_dedup_ngram_jaccard" -> ((s, dir) => {
+      // cache() is a predicate-pushdown BARRIER, not a reuse cache: the
+      // explode below makes InferFiltersFromGenerate add
+      // `size(sh)>0 && isnotnull(sh)` and pushdown substitutes the FULL
+      // shingle expression into a scan-level Filter (twice per row, with
+      // the lambda re-splitting per element — measured ~2 s at sf0.1).
+      // Behind the cache the inferred filter tests the materialized
+      // attribute. Intra-query only; recomputed from parquet every run.
       val d = docs(s, dir)
-        .select(col("doc_id"), col("lang"), bigramHashes.as("sh"))
+        .select(col("doc_id"), col("lang"), ws.as("w"))
+        .select(col("doc_id"), col("lang"), bigramHashesOf(col("w")).as("sh"))
         .withColumn("nsh", size(col("sh")).cast("long"))
+        .cache()
       val posts = d.select(col("doc_id"), col("nsh"), col("lang"),
           explode(col("sh")).as("gh"))
       // df is counted per shingle ACROSS langs (oracle semantics); lang
@@ -166,15 +181,19 @@ object TextOps {
       minhashLshPairs(docs(s, dir), lshBucketCap)),
 
     // SimHash: 16-bit signature from per-word md5 nibbles (bit i = sign of
-    // Σ ±1 over words, + when hex digit i of md5(word) >= '8')
+    // Σ ±1 over words, + when hex digit i of md5(word) >= '8').
+    // The word-hash array and word count are materialized ONCE per row:
+    // HOFs are CodegenFallback, so each of the 16 bit expressions used to
+    // re-evaluate the whole split+md5 subtree inside its filter (16×54
+    // md5s per row instead of 54).
     "d04_dedup_simhash" -> ((s, dir) => {
-      val hs = transform(ws, w => md5(w))
-      val n = size(ws)
       val bits = (1 to 16).map { i =>
-        when(size(filter(hs, h => substring(h, i, 1) >= "8")) * 2 - n > 0,
-          "1").otherwise("0")
+        when(size(filter(col("hs"), h => substring(h, i, 1) >= "8")) * 2 -
+          col("n") > 0, "1").otherwise("0")
       }
       docs(s, dir)
+        .select(col("doc_id"), transform(ws, w => md5(w)).as("hs"),
+          size(ws).as("n"))
         .select(col("doc_id"), concat(bits: _*).as("simhash"))
         .orderBy("doc_id")
     }),
@@ -200,15 +219,19 @@ object TextOps {
     }),
 
     // quality scoring: length / distinct-ratio / stopword-density features,
-    // integer-exact (x1000 fixed-point via integer division)
+    // integer-exact (x1000 fixed-point via integer division). The word
+    // array is split once per row and shared by the four feature
+    // expressions (each HOF subtree re-evaluated its own split before).
     "t02_quality_score" -> ((s, dir) => {
-      val nW = size(ws).cast("long")
-      val sumLen = aggregate(transform(ws, w => length(w).cast("long")),
+      val w = col("w")
+      val nW = size(w).cast("long")
+      val sumLen = aggregate(transform(w, x => length(x).cast("long")),
         lit(0L), (acc, x) => acc + x)
-      val nDist = size(array_distinct(ws)).cast("long")
-      val stops = size(filter(ws,
-        w => w.isin("the", "a", "data", "value", "row"))).cast("long")
+      val nDist = size(array_distinct(w)).cast("long")
+      val stops = size(filter(w,
+        x => x.isin("the", "a", "data", "value", "row"))).cast("long")
       docs(s, dir)
+        .select(col("doc_id"), ws.as("w"), col("n_chars"))
         .select(
           col("doc_id"),
           nW.as("n_words"),
@@ -235,16 +258,21 @@ object TextOps {
     }),
 
     // document fingerprinting: full-text hash + min/max word-hash sketch
-    // (minhash-1) + head-of-document rolling piece
+    // (minhash-1) + head-of-document rolling piece. The word-hash array is
+    // materialized once and shared by min and max (each used to
+    // re-evaluate the whole split+distinct+md5 subtree).
     "t04_fingerprint" -> ((s, dir) => {
-      val hs = transform(array_distinct(ws), w => md5(w))
       docs(s, dir)
+        .select(col("doc_id"),
+          md5(col("text")).as("fp_full"),
+          transform(array_distinct(ws), w => md5(w)).as("hw"),
+          md5(concat_ws(" ", slice(ws, 1, 8))).as("fp_head"))
         .select(
           col("doc_id"),
-          md5(col("text")).as("fp_full"),
-          array_min(hs).as("fp_min"),
-          array_max(hs).as("fp_max"),
-          md5(concat_ws(" ", slice(ws, 1, 8))).as("fp_head"))
+          col("fp_full"),
+          array_min(col("hw")).as("fp_min"),
+          array_max(col("hw")).as("fp_max"),
+          col("fp_head"))
         .orderBy("doc_id")
     }))
 

@@ -30,14 +30,35 @@ object StreamOps {
     * window (filtered out of the result). */
   private val Sentinel = "__graft_watermark_sentinel"
 
+  /** State-store partition count for the windowed aggregation. The state
+    * keyspace here is (day-window × event_type) — kilobytes — while the
+    * session default (`spark.sql.shuffle.partitions` = core count in the
+    * bench) would spin up one HDFS-backed state store instance per
+    * shuffle partition and pay its snapshot/commit file per micro-batch.
+    * This is a per-stream volume knob, not a local-mode constant: size it
+    * to the stream's key cardinality in production (round 6; measured
+    * 32 → 8 saves ~0.9 s/query at sf0.1). */
+  private def streamStateParts: String =
+    sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTITIONS", "8")
+
   /** Windowed count per (1-day event-time window, event_type), computed by
     * an actual streaming query over the parquet file source in APPEND
     * mode — the 1-hour watermark genuinely closes windows and EVICTS their
     * state (complete mode would keep every window forever, voiding the
     * "watermark bounds the state store" scale property — ADVICE r1). A
-    * sentinel far-future event is fed as a second micro-batch so the
-    * watermark passes the final real window; temp dir and memory-sink
-    * table are dropped after the (small) result is materialized. */
+    * sentinel far-future event advances the watermark past the final real
+    * window; temp dir and memory-sink table are dropped after the (small)
+    * result is materialized.
+    *
+    * Round-6 shape: the sentinel is staged BEFORE the query starts, so
+    * one `processAllAvailable` drives batch 0 (all files; watermark still
+    * at its initial value, nothing late-dropped, nothing emitted) and the
+    * watermark-advancing no-data micro-batch that emits every closed
+    * window. The previous two-phase drive (batch 0, a mid-stream Spark
+    * write job, batch 1, then the same no-data batch for the last
+    * window) cost two extra batch cycles and one extra write job per
+    * invocation; emitted rows are identical — the no-data batch was
+    * already what flushed the final window. */
   def windowedCounts(s: SparkSession, dir: String): DataFrame = {
     val name = "s01_" + java.util.UUID.randomUUID().toString.replace("-", "")
     // the streaming file source wants a DIRECTORY it can watch; stage the
@@ -49,32 +70,31 @@ object StreamOps {
     catch { case _: Exception =>
       java.nio.file.Files.copy(java.nio.file.Paths.get(dir, "events.parquet"), target)
     }
-    val stream = s.readStream
-      .schema(eventsSchema)
-      .parquet(streamDir.toString)
-      // watermarks need TIMESTAMP (LTZ); session tz is pinned UTC so the
-      // cast is instant-preserving and the window starts stay naive-UTC
-      .withColumn("ts", col("ts").cast("timestamp"))
-      .withWatermark("ts", "1 hour")
-      .groupBy(window(col("ts"), "1 day"), col("event_type"))
-      .agg(count(lit(1)).as("n"))
-    val q = stream.writeStream
-      .outputMode("append")
-      .format("memory")
-      .queryName(name)
-      .start()
+    import s.implicits._
+    Seq((Long.MaxValue, "3000-01-01 00:00:00", 0L, Sentinel, 0.0, "{}"))
+      .toDF("event_id", "ts_s", "user_id", "event_type", "value", "props")
+      .select(col("event_id"), col("ts_s").cast("timestamp_ntz").as("ts"),
+        col("user_id"), col("event_type"), col("value"), col("props"))
+      .coalesce(1).write.mode("append").parquet(streamDir.toString)
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", streamStateParts)
     try {
-      q.processAllAvailable()
-      // second micro-batch: one sentinel event far in the future advances
-      // the watermark so every real window closes and is emitted
-      import s.implicits._
-      Seq((Long.MaxValue, "3000-01-01 00:00:00", 0L, Sentinel, 0.0, "{}"))
-        .toDF("event_id", "ts_s", "user_id", "event_type", "value", "props")
-        .select(col("event_id"), col("ts_s").cast("timestamp_ntz").as("ts"),
-          col("user_id"), col("event_type"), col("value"), col("props"))
-        .coalesce(1).write.mode("append").parquet(streamDir.toString)
-      q.processAllAvailable()
-    } finally q.stop()
+      val stream = s.readStream
+        .schema(eventsSchema)
+        .parquet(streamDir.toString)
+        // watermarks need TIMESTAMP (LTZ); session tz is pinned UTC so the
+        // cast is instant-preserving and the window starts stay naive-UTC
+        .withColumn("ts", col("ts").cast("timestamp"))
+        .withWatermark("ts", "1 hour")
+        .groupBy(window(col("ts"), "1 day"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+      val q = stream.writeStream
+        .outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
     val rows = s.table(name)
       .filter(col("event_type") =!= Sentinel)
       .select(col("window.start").cast("string").as("win_start"),
