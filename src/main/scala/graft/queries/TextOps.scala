@@ -65,13 +65,20 @@ object TextOps {
     * sides — an intra-query intermediate recomputed from parquet on every
     * invocation, nothing persists across runs. */
   def minhashLshPairs(docsDf: DataFrame, bucketCap: Int): DataFrame = {
-    def sig(i: Int): Column = array_min(
-      transform(col("dw"), w => md5(concat(lit(s"$i:"), w))))
-    val d = docsDf.select(col("doc_id"), array_distinct(ws).as("dw"))
+    // all 6 salted signatures in ONE pass over the distinct-word array
+    // (graft.functions.MinhashSigs, codegen'd): the 6 separate
+    // array_min(transform(md5...)) HOF folds re-walked the array per salt
+    // and built 6 intermediate hex-string arrays per doc — equivalence is
+    // spec-pinned (MinhashSigSpec) and oracle-verified
+    val d = docsDf
+      .select(col("doc_id"),
+        graft.functions.MinhashSigs.of(array_distinct(ws), 6).as("sg"))
       .select(
         col("doc_id"),
-        md5(concat_ws("|", sig(0), sig(1), sig(2))).as("band1"),
-        md5(concat_ws("|", sig(3), sig(4), sig(5))).as("band2"))
+        md5(concat_ws("|", col("sg").getItem(0), col("sg").getItem(1),
+          col("sg").getItem(2))).as("band1"),
+        md5(concat_ws("|", col("sg").getItem(3), col("sg").getItem(4),
+          col("sg").getItem(5))).as("band2"))
     val all = d.select(col("doc_id"), explode(array(
         struct(col("band1").as("bkt"), lit(1L).as("band")),
         struct(col("band2").as("bkt"), lit(2L).as("band")))).as("e"))

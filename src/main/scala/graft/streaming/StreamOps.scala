@@ -88,12 +88,27 @@ object StreamOps {
         .withWatermark("ts", "1 hour")
         .groupBy(window(col("ts"), "1 day"), col("event_type"))
         .agg(count(lit(1)).as("n"))
+      // ephemeral checkpoint on tmpfs when available: the per-batch state
+      // snapshot/commit/offset files are durability plumbing this
+      // memory-sink query never restarts from, and the bench session puts
+      // shuffle/local dirs on tmpfs for the same one-slow-local-disk
+      // reason (a production stream points this at durable storage)
+      val ckBase = {
+        val shm = java.nio.file.Paths.get("/dev/shm")
+        if (java.nio.file.Files.isWritable(shm)) shm
+        else java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
+      }
+      val ckDir = java.nio.file.Files.createTempDirectory(ckBase, "graft-s01-ck")
       val q = stream.writeStream
         .outputMode("append")
         .format("memory")
+        .option("checkpointLocation", ckDir.toString)
         .queryName(name)
         .start()
-      try q.processAllAvailable() finally q.stop()
+      try q.processAllAvailable() finally {
+        q.stop()
+        org.apache.commons.io.FileUtils.deleteQuietly(ckDir.toFile)
+      }
     } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
     val rows = s.table(name)
       .filter(col("event_type") =!= Sentinel)
