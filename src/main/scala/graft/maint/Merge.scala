@@ -760,16 +760,26 @@ object Merge {
     * footprint. Larger sources use the general fused run-scan. */
   val BroadcastSourceRows: Long = 1200000L
 
+  /** @param sourceKeysUnique caller GUARANTEES the change-set has at most
+    *   one row per doc_id, so the deterministic dedup window (a full
+    *   shuffle of the change-set — guide §2.4: a distinct on already-
+    *   unique data) is skipped. Safe only where uniqueness is structural:
+    *   the SQL DELETE/UPDATE commands derive their change rows from the
+    *   head scan, whose doc_id uniqueness is the engine's maintained
+    *   post-merge invariant. The pass-id fingerprint is a SUM of row
+    *   hashes (order-independent) and dedup of unique keys is the
+    *   identity, so resume ids are unchanged either way. */
   def run(table: TokenTable, spark: SparkSession, source: DataFrame,
       nowMs: Long = 0L,
       targetFileBytes: Long = 128L * 1024 * 1024,
       broadcastThreshold: Long = BroadcastSourceRows,
-      unitTargetBytes: Long = UnitTargetBytes): Snapshot = {
+      unitTargetBytes: Long = UnitTargetBytes,
+      sourceKeysUnique: Boolean = false): Snapshot = {
     val snap = table.log.current().getOrElse(sys.error("empty table"))
     val files = table.log.dataFiles(snap)
     val lin = new LineageLog(table.root)
 
-    val src = dedupSource(source).cache()
+    val src = (if (sourceKeysUnique) source else dedupSource(source)).cache()
     try {
       // Planning: exact count + one narrow collect (small sources;
       // bounded aggregation otherwise).

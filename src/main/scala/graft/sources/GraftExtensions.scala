@@ -153,9 +153,11 @@ private object GraftRowLevel {
 final case class GraftDeleteCommand(index: GraftFileIndex, cond: Expression)
     extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {
+    // change rows are a filter of the head scan → doc_id unique by the
+    // engine's uniqueness invariant: the dedup window would be a no-op
     graft.maint.Merge.run(index.table, spark,
       GraftRowLevel.changeSet(spark, index, cond, Seq.empty, "delete"),
-      nowMs = System.currentTimeMillis())
+      nowMs = System.currentTimeMillis(), sourceKeysUnique = true)
     Seq.empty
   }
 }
@@ -164,10 +166,11 @@ final case class GraftUpdateCommand(index: GraftFileIndex,
     assigns: Seq[Assignment], cond: Option[Expression])
     extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {
+    // filter-of-head-scan change rows: doc_id unique, dedup window skipped
     graft.maint.Merge.run(index.table, spark,
       GraftRowLevel.changeSet(spark, index,
         cond.getOrElse(Literal.TrueLiteral), assigns, "upsert"),
-      nowMs = System.currentTimeMillis())
+      nowMs = System.currentTimeMillis(), sourceKeysUnique = true)
     Seq.empty
   }
 }
