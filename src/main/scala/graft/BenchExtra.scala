@@ -124,10 +124,12 @@ object BenchExtra {
         spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
           override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
             starts.put(j.jobId, System.nanoTime())
-          override def onJobEnd(j: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
-            val s = starts.remove(j.jobId)
-            if (s != null) { t0all.addAndGet(System.nanoTime() - s); nJobs.incrementAndGet() }
-          }
+          override def onJobEnd(j: org.apache.spark.scheduler.SparkListenerJobEnd): Unit =
+            // boxed lookup: remove() of a missing id is null, and unboxing
+            // it to a primitive Long would silently read as 0
+            Option(starts.remove(j.jobId)).foreach { s =>
+              t0all.addAndGet(System.nanoTime() - s); nJobs.incrementAndGet()
+            }
         })
         sel.foreach { case (name, fn) =>
           spark.catalog.clearCache()

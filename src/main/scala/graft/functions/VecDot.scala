@@ -75,10 +75,11 @@ case class VecDot(left: Expression, right: Expression)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val cls = VecDot.getClass.getName.stripSuffix("$") + "$"
+    val boxed = ctx.freshName("graftDot") // two dots in one scope must not collide
     nullSafeCodeGen(ctx, ev, (a, b) => s"""
-      |java.lang.Double graftDot = $cls.MODULE$$.dotBoxed($a, $b, $lFloat, $rFloat);
-      |if (graftDot == null) { ${ev.isNull} = true; }
-      |else { ${ev.value} = graftDot.doubleValue(); }
+      |java.lang.Double $boxed = $cls.MODULE$$.dotBoxed($a, $b, $lFloat, $rFloat);
+      |if ($boxed == null) { ${ev.isNull} = true; }
+      |else { ${ev.value} = $boxed.doubleValue(); }
       |""".stripMargin)
   }
 

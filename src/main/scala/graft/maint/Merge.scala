@@ -779,7 +779,7 @@ object Merge {
     val files = table.log.dataFiles(snap)
     val lin = new LineageLog(table.root)
 
-    val src = (if (sourceKeysUnique) source else dedupSource(source)).cache()
+    var src = (if (sourceKeysUnique) source else dedupSource(source)).cache()
     try {
       // Planning: exact count + one narrow collect (small sources;
       // bounded aggregation otherwise).
@@ -788,7 +788,21 @@ object Merge {
       // reuses stale staged output — ADVICE r1 #1); the cells drive
       // touched-file stabbing and insert sizing; the key map feeds the
       // broadcast path's codegen probe.
-      val plan = timed("planSummary")(planSummary(src, broadcastThreshold))
+      var plan = timed("planSummary")(planSummary(src, broadcastThreshold))
+      // TRUST-BUT-VERIFY the sourceKeysUnique claim where it is free: on
+      // the small path the planning collect builds the doc_id key map, so
+      // keyMap.size < srcRows proves duplicate keys (e.g. the table
+      // itself violates doc_id uniqueness after raw appends and a DML
+      // change-set inherited the duplicates). Fall back to the dedup
+      // window — the exact pre-optimization semantics. The aggregation
+      // (big-source) path cannot check without an extra job; there the
+      // caller's structural guarantee stands.
+      if (sourceKeysUnique && plan.keyMap.exists(_.size < plan.srcRows)) {
+        src.unpersist()
+        src = dedupSource(source).cache()
+        plan = timed("planSummary-dedup-fallback")(
+          planSummary(src, broadcastThreshold))
+      }
       val cellChars = plan.cellChars
       // path choice is a pure function of the change-set content and the
       // threshold, and it is FOLDED INTO the pass id (ADVICE r3 #3): a

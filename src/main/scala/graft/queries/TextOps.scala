@@ -39,10 +39,19 @@ object TextOps {
     * CodegenFallback, so a `split(...)` subtree inside the lambda body is
     * re-evaluated interpreted on EVERY element (no common-subexpression
     * elimination reaches inside) — measured ~2 s of d02's wall at sf0.1
-    * just re-splitting the text twice per bigram. */
-  private def bigramHashesOf(w: Column): Column = array_distinct(
-    transform(sequence(lit(1), size(w) - 1),
-      i => xxhash64(element_at(w, i), element_at(w, i + 1))))
+    * just re-splitting the text twice per bigram.
+    *
+    * Guarded for sub-2-word docs: `sequence(1, size-1)` is NEVER empty —
+    * for a 1-word doc it DESCENDS to [1, 0] and element_at(w, 0) is an
+    * error — so such docs short-circuit to an empty shingle set, which is
+    * exactly what the oracle's `range(1, len)` (empty when len=1)
+    * computes. */
+  private def bigramHashesOf(w: Column): Column =
+    when(size(w) >= 2,
+      array_distinct(
+        transform(sequence(lit(1), size(w) - 1),
+          i => xxhash64(element_at(w, i), element_at(w, i + 1)))))
+      .otherwise(array().cast("array<bigint>"))
 
   /** default LSH bucket-size cap: generous for genuine near-dup clusters,
     * a hard bound on join blowup (pairs per bucket <= cap²/2) */

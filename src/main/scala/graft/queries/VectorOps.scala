@@ -50,14 +50,11 @@ object VectorOps {
     * measured FIRST and rejected: e05's 16 dots/row made a ~4k-node
     * projection whose optimizer + Janino cost (2.2 s → 10.6 s) dwarfed
     * the interpreted HOF it replaced. */
-  private def dotG(a: Column, b: Column): Column =
-    graft.functions.VecDot.dot(a, b)
-
-  private def dotF(a: Column, b: Column): Column =
+  private def dot(a: Column, b: Column): Column =
     graft.functions.VecDot.dot(a, b)
 
   /** Dot against a driver-side literal vector (IVF centroids). */
-  private def dotLitF(a: Column, v: Array[Double]): Column =
+  private def dotLit(a: Column, v: Array[Double]): Column =
     graft.functions.VecDot.dot(a, typedLit(v))
 
   /** Driver-side replica of the engine fold for a literal vector: plain
@@ -70,15 +67,15 @@ object VectorOps {
     math.sqrt(acc)
   }
 
-  private[queries] def cosine(a: Column, b: Column): Column =
-    dotG(a, b) / (sqrt(dotG(a, a)) * sqrt(dotG(b, b)))
-
   /** 4-bit sign-LSH bucket from block sums of 16 coordinates each (float
-    * input; block sum = the same sequential cast-and-add fold). */
+    * input; block sum = the same sequential cast-and-add fold). `get` —
+    * not `getItem` — so a malformed short vector yields a null block sum
+    * (bit "0") instead of an ANSI out-of-bounds error; 64-dim inputs are
+    * untouched. */
   private def bucket(e: Column): Column = {
     val bits = (0 until 4).map { k =>
       val blockSum = (0 until 16).foldLeft(lit(0.0))((acc, j) =>
-        acc + e.getItem(k * 16 + j).cast("double"))
+        acc + get(e, lit(k * 16 + j)).cast("double"))
       when(blockSum >= 0, "1").otherwise("0")
     }
     concat(bits: _*)
@@ -99,7 +96,7 @@ object VectorOps {
   def annLsh(embDf: DataFrame, maxQ: Int, bucketCap: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val e = embDf.withColumn("bucket", bucket(col("embedding")))
-      .withColumn("nrm", sqrt(dotF(col("embedding"), col("embedding"))))
+      .withColumn("nrm", sqrt(dot(col("embedding"), col("embedding"))))
     val small = e.groupBy("bucket").agg(count(lit(1)).as("bn"))
       .filter(col("bn") <= bucketCap).drop("bn")
     val capped = e.join(small, Seq("bucket"))
@@ -110,18 +107,19 @@ object VectorOps {
       col("nrm").as("nn"), col("bucket").as("bucket_n"))
     val w = Window.partitionBy("q_id").orderBy(desc("cos"), asc("n_id"))
     q.join(c, col("bucket") === col("bucket_n") && col("q_id") =!= col("n_id"))
-      .withColumn("cos", dotF(col("qe"), col("ne")) / (col("qn") * col("nn")))
+      .withColumn("cos", dot(col("qe"), col("ne")) / (col("qn") * col("nn")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") === 1)
       .select(col("q_id"), col("n_id"))
       .orderBy("q_id")
   }
 
-  /** sign-LSH bucket over an already-double array */
+  /** sign-LSH bucket over an already-double array (same OOB-null
+    * discipline as `bucket`) */
   private def bucketD(e: Column): Column = {
     val bits = (0 until 4).map { k =>
       val blockSum = (0 until 16).foldLeft(lit(0.0))((acc, j) =>
-        acc + e.getItem(k * 16 + j))
+        acc + get(e, lit(k * 16 + j)))
       when(blockSum >= 0, "1").otherwise("0")
     }
     concat(bits: _*)
@@ -165,7 +163,7 @@ object VectorOps {
   def dedupEmbeddingCosine(corpus: DataFrame, threshold: Double,
       bucketCap: Int): DataFrame = {
     val e = corpus.withColumn("bucket", bucketD(col("de")))
-      .withColumn("nrm", sqrt(dotG(col("de"), col("de"))))
+      .withColumn("nrm", sqrt(dot(col("de"), col("de"))))
       .cache()
     val small = e.groupBy("bucket").agg(count(lit(1)).as("bn"))
       .filter(col("bn") <= bucketCap).drop("bn")
@@ -175,7 +173,7 @@ object VectorOps {
     val b = capped.select(col("vec_id").as("b_id"), col("de").as("be"),
       col("nrm").as("bn"), col("bucket").as("bucket_b"))
     a.join(b, col("bucket") === col("bucket_b") && col("a_id") < col("b_id"))
-      .filter(dotG(col("ae"), col("be")) / (col("an") * col("bn")) >= threshold)
+      .filter(dot(col("ae"), col("be")) / (col("an") * col("bn")) >= threshold)
       .groupBy(col("b_id").as("dup_id"))
       .agg(min(col("a_id")).as("keep_id"))
       .orderBy("dup_id")
@@ -197,11 +195,11 @@ object VectorOps {
       val e = emb(s, dir)
       val q = e.filter(col("vec_id") < 10)
         .select(col("vec_id").as("q_id"), col("embedding").as("qe"),
-          sqrt(dotF(col("embedding"), col("embedding"))).as("qn"))
+          sqrt(dot(col("embedding"), col("embedding"))).as("qn"))
       val c = e.select(col("vec_id").as("n_id"), col("embedding").as("ne"),
-        sqrt(dotF(col("embedding"), col("embedding"))).as("nn"))
+        sqrt(dot(col("embedding"), col("embedding"))).as("nn"))
       val scored = q.join(c, col("q_id") =!= col("n_id"))
-        .withColumn("cos", dotF(col("qe"), col("ne")) / (col("qn") * col("nn")))
+        .withColumn("cos", dot(col("qe"), col("ne")) / (col("qn") * col("nn")))
       val w = Window.partitionBy("q_id").orderBy(desc("cos"), asc("n_id"))
       scored.withColumn("rank", row_number().over(w))
         .filter(col("rank") <= 5)
@@ -249,11 +247,11 @@ object VectorOps {
         .map(r => (r.getLong(0).toInt, r.getSeq[Double](1).toArray))
         .sortBy(_._1).toSeq
       val scoreArr = array(cents.map { case (id, ce) =>
-        struct((dotLitF(col("embedding"), ce) / (col("__nrm") * lit(normLit(ce))))
+        struct((dotLit(col("embedding"), ce) / (col("__nrm") * lit(normLit(ce))))
           .as("c"), lit(-id).as("nid"))
       }: _*)
       val scored = e
-        .withColumn("__nrm", sqrt(dotF(col("embedding"), col("embedding"))))
+        .withColumn("__nrm", sqrt(dot(col("embedding"), col("embedding"))))
         .withColumn("scores", scoreArr)
       val cells = scored.select(col("vec_id"), col("embedding"), col("__nrm"),
         (-array_max(col("scores")).getField("nid")).as("cell"))
@@ -268,7 +266,7 @@ object VectorOps {
           col("embedding").as("ne"), col("__nrm").as("nn"), col("cell")),
           Seq("cell"))
         .filter(col("q_id") =!= col("n_id"))
-        .withColumn("cos", dotF(col("qe"), col("ne")) / (col("qn") * col("nn")))
+        .withColumn("cos", dot(col("qe"), col("ne")) / (col("qn") * col("nn")))
         .withColumn("rank", row_number().over(w))
         .filter(col("rank") <= 5)
         .select(col("q_id"), col("n_id"), col("rank").cast("long").as("rank"))
@@ -279,7 +277,7 @@ object VectorOps {
     // those are aggregation-order-dependent and would break the oracle)
     "e04_vector_stats" -> ((s, dir) => {
       emb(s, dir)
-        .withColumn("norm2", dotF(col("embedding"), col("embedding")))
+        .withColumn("norm2", dot(col("embedding"), col("embedding")))
         .groupBy(col("label").cast("long").as("label"))
         .agg(count(lit(1)).as("n"),
           min(col("norm2")).as("min_norm2"),

@@ -76,10 +76,13 @@ object StreamOps {
       .select(col("event_id"), col("ts_s").cast("timestamp_ntz").as("ts"),
         col("user_id"), col("event_type"), col("value"), col("props"))
       .coalesce(1).write.mode("append").parquet(streamDir.toString)
-    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", streamStateParts)
-    try {
-      val stream = s.readStream
+    // the stream runs on a CHILD session (shared SparkContext, isolated
+    // SQLConf + temp views): the state-partition knob never leaks to the
+    // caller's session, even under concurrent use
+    val s2 = s.newSession()
+    s2.conf.set("spark.sql.shuffle.partitions", streamStateParts)
+    locally {
+      val stream = s2.readStream
         .schema(eventsSchema)
         .parquet(streamDir.toString)
         // watermarks need TIMESTAMP (LTZ); session tz is pinned UTC so the
@@ -109,8 +112,9 @@ object StreamOps {
         q.stop()
         org.apache.commons.io.FileUtils.deleteQuietly(ckDir.toFile)
       }
-    } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
-    val rows = s.table(name)
+    }
+    // the memory sink registered its table in the CHILD session
+    val rows = s2.table(name)
       .filter(col("event_type") =!= Sentinel)
       .select(col("window.start").cast("string").as("win_start"),
         col("event_type"), col("n"))
@@ -121,7 +125,7 @@ object StreamOps {
       StructType(Seq(StructField("win_start", StringType),
         StructField("event_type", StringType), StructField("n", LongType))))
     // cleanup: drop the memory-sink table and the staged stream dir
-    s.catalog.dropTempView(name)
+    s2.catalog.dropTempView(name)
     org.apache.commons.io.FileUtils.deleteQuietly(streamDir.toFile)
     out.orderBy("win_start", "event_type")
   }
